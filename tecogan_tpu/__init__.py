@@ -1,0 +1,28 @@
+"""TecoGAN-TPU: a TPU-native (JAX/XLA/Pallas) video super-resolution framework.
+
+Reimplements the full capability surface of thunil/TecoGAN (TEmporally COherent
+GAN for 4x video super resolution, ACM TOG 2020) with a TPU-first design:
+
+- streaming recurrent 4x VSR inference (``tecogan_tpu.recurrent``)
+- FRVSR training (generator + flow net, L2 losses)
+- TecoGAN adversarial training (spatio-temporal discriminator, VGG19
+  perceptual loss, ping-pong loss, adaptive discriminator balancing)
+- metric evaluation: PSNR / SSIM / LPIPS / tOF / tLP100 (``tecogan_tpu.eval``)
+- dataset preparation and host data pipeline (``tecogan_tpu.data``)
+
+Unlike the reference (a single-GPU TF1 graph), the compute path here is pure
+functional JAX compiled by XLA for the MXU, with a Pallas kernel for the hot
+dense-image-warp op, ``lax.scan`` for the temporal recurrence, and
+``jax.sharding`` meshes for data-parallel scaling over ICI.
+"""
+
+__version__ = "0.1.0"
+
+from tecogan_tpu.config import TecoConfig, FRVSR_PRESET, TECOGAN_PRESET, MINI_PRESET
+
+__all__ = [
+    "TecoConfig",
+    "FRVSR_PRESET",
+    "TECOGAN_PRESET",
+    "MINI_PRESET",
+]

@@ -1,0 +1,220 @@
+"""Golden tests for core ops against independent numpy references.
+
+Each numpy oracle below is derived from first principles (resize/cubic
+convolution definitions, TF interpolate_bilinear documentation), NOT from the
+jnp implementations, so agreement is meaningful.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tecogan_tpu.ops import (
+    bicubic_four,
+    dense_image_warp,
+    depth_to_space,
+    gauss_down_by4,
+    gaussian_kernel_2d,
+    space_to_depth,
+    upscale_bilinear,
+)
+
+
+# ---------------------------------------------------------------- oracles
+def np_resize_bilinear_legacy(x, factor):
+    """Legacy TF1 bilinear (align_corners=False, src = dst/f, edge clamp)."""
+    b, h, w, c = x.shape
+    out = np.zeros((b, h * factor, w * factor, c), x.dtype)
+    for oy in range(h * factor):
+        sy = oy / factor
+        y0 = int(np.floor(sy))
+        y1 = min(y0 + 1, h - 1)
+        fy = sy - y0
+        for ox in range(w * factor):
+            sx = ox / factor
+            x0 = int(np.floor(sx))
+            x1 = min(x0 + 1, w - 1)
+            fx = sx - x0
+            top = x[:, y0, x0] * (1 - fx) + x[:, y0, x1] * fx
+            bot = x[:, y1, x0] * (1 - fx) + x[:, y1, x1] * fx
+            out[:, oy, ox] = top * (1 - fy) + bot * fy
+    return out
+
+
+def keys_cubic(d, a=-0.75):
+    d = abs(d)
+    if d <= 1:
+        return (a + 2) * d**3 - (a + 3) * d**2 + 1
+    if d < 2:
+        return a * d**3 - 5 * a * d**2 + 8 * a * d - 4 * a
+    return 0.0
+
+
+def np_resize_bicubic_legacy4(x):
+    """Cubic convolution (Keys, a=-0.75), src = dst/4, edge clamp taps."""
+    b, h, w, c = x.shape
+    f = 4
+    out = np.zeros((b, h * f, w * f, c), np.float64)
+    for oy in range(h * f):
+        sy = oy / f
+        y0 = int(np.floor(sy))
+        ty = sy - y0
+        wy = [keys_cubic(ty + 1), keys_cubic(ty), keys_cubic(1 - ty), keys_cubic(2 - ty)]
+        ys = [min(max(y0 + k - 1, 0), h - 1) for k in range(4)]
+        for ox in range(w * f):
+            sx = ox / f
+            x0 = int(np.floor(sx))
+            tx = sx - x0
+            wx = [
+                keys_cubic(tx + 1),
+                keys_cubic(tx),
+                keys_cubic(1 - tx),
+                keys_cubic(2 - tx),
+            ]
+            xs = [min(max(x0 + k - 1, 0), w - 1) for k in range(4)]
+            acc = 0.0
+            for i in range(4):
+                for j in range(4):
+                    acc += wy[i] * wx[j] * x[:, ys[i], xs[j]]
+            out[:, oy, ox] = acc
+    return out
+
+
+def np_dense_image_warp(image, flow):
+    """TF interpolate_bilinear semantics: clamp floors to [0, n-2],
+    clamp alphas to [0, 1]."""
+    b, h, w, c = image.shape
+    out = np.zeros_like(image)
+    for bi in range(b):
+        for y in range(h):
+            for x in range(w):
+                qy = y - flow[bi, y, x, 0]
+                qx = x - flow[bi, y, x, 1]
+                fy = min(max(np.floor(qy), 0), h - 2)
+                fx = min(max(np.floor(qx), 0), w - 2)
+                ay = min(max(qy - fy, 0.0), 1.0)
+                ax = min(max(qx - fx, 0.0), 1.0)
+                iy, ix = int(fy), int(fx)
+                tl = image[bi, iy, ix]
+                tr = image[bi, iy, ix + 1]
+                bl = image[bi, iy + 1, ix]
+                br = image[bi, iy + 1, ix + 1]
+                top = tl + (tr - tl) * ax
+                bot = bl + (br - bl) * ax
+                out[bi, y, x] = top + (bot - top) * ay
+    return out
+
+
+# ------------------------------------------------------------------ tests
+def test_upscale_bilinear_matches_legacy_tf(rng):
+    x = rng.rand(2, 5, 7, 3).astype(np.float32)
+    for factor in (2, 4):
+        got = np.asarray(upscale_bilinear(jnp.asarray(x), factor))
+        want = np_resize_bilinear_legacy(x, factor)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bicubic_four_matches_keys_cubic(rng):
+    x = rng.rand(1, 6, 5, 3).astype(np.float64)
+    got = np.asarray(bicubic_four(jnp.asarray(x)))
+    want = np_resize_bicubic_legacy4(x)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_space_to_depth_tf_order(rng):
+    x = rng.rand(2, 8, 8, 3).astype(np.float32)
+    got = np.asarray(space_to_depth(jnp.asarray(x), 4))
+    assert got.shape == (2, 2, 2, 48)
+    # TF ordering: out[..., (di*block + dj)*C + k] = x[:, i*b+di, j*b+dj, k]
+    for di in range(4):
+        for dj in range(4):
+            for k in range(3):
+                np.testing.assert_array_equal(
+                    got[:, :, :, (di * 4 + dj) * 3 + k],
+                    x[:, di::4, dj::4, k],
+                )
+    back = np.asarray(depth_to_space(jnp.asarray(got), 4))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_gauss_down_by4_matches_dense_conv(rng):
+    sigma = 1.5
+    k = 1 + 2 * int(3 * sigma)
+    crop = 8
+    size = crop * 4 + 2 * int(3 * sigma)
+    x = rng.rand(2, size, size, 3).astype(np.float32)
+    got = np.asarray(gauss_down_by4(jnp.asarray(x), sigma))
+    assert got.shape == (2, crop, crop, 3)
+
+    kern = gaussian_kernel_2d(k, sigma)
+    want = np.zeros_like(got)
+    for oy in range(crop):
+        for ox in range(crop):
+            patch = x[:, oy * 4 : oy * 4 + k, ox * 4 : ox * 4 + k, :]
+            want[:, oy, ox, :] = np.einsum("bhwc,hw->bc", patch, kern)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_gaussian_kernel_matches_scipy():
+    from scipy import signal
+
+    for size, sig in ((13, 1.5), (5, 1.0)):
+        g1 = signal.windows.gaussian(size, std=sig).reshape(size, 1)
+        want = np.outer(g1, g1)
+        want /= want.sum()
+        np.testing.assert_allclose(gaussian_kernel_2d(size, sig), want, rtol=1e-12)
+
+
+def test_dense_image_warp_matches_tf_semantics(rng):
+    image = rng.rand(2, 9, 11, 3).astype(np.float32)
+    # Flows both small and large (out of range -> border clamp paths).
+    flow = (rng.rand(2, 9, 11, 2).astype(np.float32) - 0.5) * 8.0
+    got = np.asarray(dense_image_warp(jnp.asarray(image), jnp.asarray(flow)))
+    want = np_dense_image_warp(image, flow)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_dense_image_warp_zero_flow_identity(rng):
+    image = rng.rand(1, 6, 6, 2).astype(np.float32)
+    got = np.asarray(dense_image_warp(jnp.asarray(image), jnp.zeros((1, 6, 6, 2))))
+    np.testing.assert_allclose(got, image, rtol=1e-6, atol=1e-6)
+
+
+def test_dense_image_warp_gradients(rng):
+    """Finite-difference check of d(warp)/d(flow) and d(warp)/d(image)."""
+    image = rng.rand(1, 5, 5, 1).astype(np.float64)
+    flow = (rng.rand(1, 5, 5, 2).astype(np.float64) - 0.5) * 1.3
+
+    def loss_flow(f):
+        return jnp.sum(dense_image_warp(jnp.asarray(image), f) ** 2)
+
+    def loss_img(im):
+        return jnp.sum(dense_image_warp(im, jnp.asarray(flow)) ** 2)
+
+    g_flow = np.asarray(jax.grad(loss_flow)(jnp.asarray(flow)))
+    g_img = np.asarray(jax.grad(loss_img)(jnp.asarray(image)))
+
+    eps = 1e-6
+    for idx in [(0, 2, 2, 0), (0, 1, 3, 1), (0, 4, 0, 0)]:
+        fp = flow.copy()
+        fp[idx] += eps
+        fm = flow.copy()
+        fm[idx] -= eps
+        fd = (loss_flow(jnp.asarray(fp)) - loss_flow(jnp.asarray(fm))) / (2 * eps)
+        np.testing.assert_allclose(g_flow[idx], float(fd), rtol=1e-4, atol=1e-6)
+
+    for idx in [(0, 2, 2, 0), (0, 0, 0, 0)]:
+        ip = image.copy()
+        ip[idx] += eps
+        im_ = image.copy()
+        im_[idx] -= eps
+        fd = (loss_img(jnp.asarray(ip)) - loss_img(jnp.asarray(im_))) / (2 * eps)
+        np.testing.assert_allclose(g_img[idx], float(fd), rtol=1e-4, atol=1e-6)
+
+
+def test_preprocess_roundtrip(rng):
+    from tecogan_tpu.ops import deprocess, preprocess
+
+    x = rng.rand(3, 4, 4, 3).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(deprocess(preprocess(x))), x, rtol=1e-6)
