@@ -184,7 +184,9 @@ def test_dense_image_warp_zero_flow_identity(rng):
 def test_dense_image_warp_gradients(rng):
     """Finite-difference check of d(warp)/d(flow) and d(warp)/d(image)."""
     image = rng.rand(1, 5, 5, 1).astype(np.float64)
-    flow = (rng.rand(1, 5, 5, 2).astype(np.float64) - 0.5) * 1.3
+    # Keep query points away from integer-crossing kinks (floor/clip are
+    # only piecewise differentiable; finite differences are invalid there).
+    flow = rng.rand(1, 5, 5, 2).astype(np.float64) * 0.4 + 0.15
 
     def loss_flow(f):
         return jnp.sum(dense_image_warp(jnp.asarray(image), f) ** 2)
@@ -217,4 +219,6 @@ def test_preprocess_roundtrip(rng):
     from tecogan_tpu.ops import deprocess, preprocess
 
     x = rng.rand(3, 4, 4, 3).astype(np.float32)
-    np.testing.assert_allclose(np.asarray(deprocess(preprocess(x))), x, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(deprocess(preprocess(x))), x, rtol=1e-6, atol=1e-6
+    )
