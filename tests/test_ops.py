@@ -183,6 +183,11 @@ def test_dense_image_warp_zero_flow_identity(rng):
 
 def test_dense_image_warp_gradients(rng):
     """Finite-difference check of d(warp)/d(flow) and d(warp)/d(image)."""
+    with jax.experimental.enable_x64():
+        _check_warp_gradients(rng)
+
+
+def _check_warp_gradients(rng):
     image = rng.rand(1, 5, 5, 1).astype(np.float64)
     # Keep query points away from integer-crossing kinks (floor/clip are
     # only piecewise differentiable; finite differences are invalid there).
