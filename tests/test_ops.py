@@ -183,8 +183,11 @@ def test_dense_image_warp_zero_flow_identity(rng):
 
 def test_dense_image_warp_gradients(rng):
     """Finite-difference check of d(warp)/d(flow) and d(warp)/d(image)."""
-    with jax.experimental.enable_x64():
+    jax.config.update("jax_enable_x64", True)
+    try:
         _check_warp_gradients(rng)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def _check_warp_gradients(rng):
