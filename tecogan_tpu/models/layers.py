@@ -1,0 +1,107 @@
+"""Shared layer building blocks with reference-parity semantics.
+
+Mirrors the conv wrappers of reference lib/ops.py:35-93 (slim.conv2d /
+slim.conv2d_transpose with SAME padding and Xavier init, LeakyReLU, 2x2
+VALID max-pool, slim batch_norm with decay 0.9 / eps 1e-3 / no scale).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+# slim uses tf.contrib.layers.xavier_initializer() == glorot uniform.
+xavier_init = nn.initializers.glorot_uniform()
+
+
+def conv2(
+    x,
+    features: int,
+    kernel: int = 3,
+    stride: int = 1,
+    use_bias: bool = True,
+    name: str = "conv",
+    dtype: Any = None,
+    param_dtype: Any = jnp.float32,
+):
+    """SAME conv, Xavier init (reference lib/ops.py:47-56)."""
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding="SAME",
+        use_bias=use_bias,
+        kernel_init=xavier_init,
+        name=name,
+        dtype=dtype,
+        param_dtype=param_dtype,
+    )(x)
+
+
+def conv2_tran(
+    x,
+    features: int,
+    kernel: int = 3,
+    stride: int = 2,
+    use_bias: bool = True,
+    name: str = "conv_tran",
+    dtype: Any = None,
+    param_dtype: Any = jnp.float32,
+):
+    """SAME transposed conv matching ``tf.nn.conv2d_transpose`` semantics
+    (reference lib/ops.py:35-44): defined as the adjoint of a SAME strided
+    conv, so output spatial = input * stride exactly.
+    """
+    return nn.ConvTranspose(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding="SAME",
+        use_bias=use_bias,
+        kernel_init=xavier_init,
+        transpose_kernel=True,  # TF conv2d_transpose kernel convention
+        name=name,
+        dtype=dtype,
+        param_dtype=param_dtype,
+    )(x)
+
+
+def lrelu(x, alpha: float = 0.2):
+    """LeakyReLU (reference lib/ops.py:84-85)."""
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def maxpool_2x2(x):
+    """2x2 stride-2 VALID max pool (reference lib/ops.py:92-93)."""
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+class SlimBatchNorm(nn.Module):
+    """slim.batch_norm parity: decay 0.9, eps 1e-3, center, no scale,
+    always training-mode statistics (reference lib/ops.py:88-90; the
+    discriminator is built with is_training=True unconditionally,
+    reference Teco.py:38)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=False,
+            momentum=0.9,
+            epsilon=1e-3,
+            use_bias=True,
+            use_scale=False,
+            dtype=self.dtype,
+            name="bn",
+        )(x)

@@ -1,0 +1,141 @@
+"""Model architecture tests: shapes, parameter counts (vs hand-computed
+reference totals), and TF-semantics parity of the transposed conv."""
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tecogan_tpu.models import Discriminator, FNet, Generator, VGG19Features
+from tecogan_tpu.models.fnet import pad_flow_to
+
+
+def n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def test_fnet_shape_and_params(rng):
+    model = FNet()
+    x = jnp.asarray(rng.rand(2, 32, 32, 6), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    flow = model.apply({"params": params}, x)
+    assert flow.shape == (2, 32, 32, 2)
+    # Bounded by max velocity (reference frvsr.py:39-40).
+    assert float(jnp.max(jnp.abs(flow))) <= 24.0
+    # Hand-computed from reference frvsr.py:4-41 conv shapes.
+    assert n_params(params) == 1_745_506
+
+
+def test_fnet_non_multiple_of_8(rng):
+    """144x180 (calendar LR): output on //8 grid, symmetric pad back."""
+    model = FNet()
+    x = jnp.asarray(rng.rand(1, 16, 20, 6), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    flow = model.apply({"params": params}, x)
+    assert flow.shape == (1, 16, 16, 2)  # 20//8*8 = 16
+    padded = pad_flow_to(flow, 16, 20)
+    assert padded.shape == (1, 16, 20, 2)
+    # Symmetric pad mirrors the edge columns.
+    np.testing.assert_array_equal(padded[:, :, 16], flow[:, :, 15])
+    np.testing.assert_array_equal(padded[:, :, 17], flow[:, :, 14])
+
+
+def test_generator_shape_and_params(rng):
+    model = Generator(num_resblock=16)
+    x = jnp.asarray(rng.rand(2, 8, 8, 51), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, 32, 32, 3)
+    # Hand-computed from reference frvsr.py:44-88 conv shapes @16 resblocks.
+    assert n_params(params) == 1_286_723
+
+    mini = Generator(num_resblock=10)
+    p10 = mini.init(jax.random.PRNGKey(0), x)["params"]
+    assert n_params(p10) == 1_286_723 - 6 * 73_856
+
+
+def test_generator_zero_weights_is_bicubic_of_lr(rng):
+    """With all-zero weights the generator reduces to preprocess(bicubic(LR)):
+    validates the residual-skip wiring (reference frvsr.py:81-87)."""
+    from tecogan_tpu.ops import bicubic_four, preprocess
+
+    model = Generator(num_resblock=2)
+    x = jnp.asarray(rng.rand(1, 6, 6, 51), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    out = model.apply({"params": zeros}, x)
+    want = preprocess(bicubic_four(x[..., :3]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
+
+
+def test_discriminator_shape_params_and_layers(rng):
+    model = Discriminator()
+    x = jnp.asarray(rng.rand(2, 32, 32, 27), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    (out, layers), _ = model.apply(variables, x, mutable=["batch_stats"])
+    assert out.shape == (2, 2, 2, 1)
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+    assert [l.shape for l in layers] == [
+        (2, 16, 16, 64),
+        (2, 8, 8, 64),
+        (2, 4, 4, 128),
+        (2, 2, 2, 256),
+    ]
+    # Hand-computed from reference Teco.py:30-74 conv shapes.
+    assert n_params(variables["params"]) == 802_817
+    assert n_params(variables["batch_stats"]) == 1_024
+
+
+def test_conv_transpose_matches_tf_semantics(rng):
+    """TF conv2d_transpose == adjoint (VJP) of a SAME strided conv.
+
+    Extract the flax ConvTranspose kernel, build the true adjoint with
+    jax.vjp, and require equality — this nails the output-padding rules that
+    differ between libraries.
+    """
+    from tecogan_tpu.models.layers import conv2_tran
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return conv2_tran(x, 5, kernel=3, stride=2, use_bias=False)
+
+    m = M()
+    y = jnp.asarray(rng.rand(2, 7, 9, 4), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), y)["params"]
+    got = m.apply({"params": params}, y)
+    assert got.shape == (2, 14, 18, 5)
+
+    kernel = params["conv_tran"]["kernel"]  # transpose_kernel=True layout
+    # Adjoint oracle: forward f maps HR (2,14,18,5) -> LR (2,7,9,4) with a
+    # SAME stride-2 conv whose HWIO kernel has in=5, out=4.
+    assert kernel.shape[2:] == (5, 4) or kernel.shape[2:] == (4, 5)
+    k_hwio = kernel if kernel.shape[2:] == (5, 4) else kernel.transpose(0, 1, 3, 2)
+
+    def fwd(x_hr):
+        return jax.lax.conv_general_dilated(
+            x_hr,
+            k_hwio,
+            window_strides=(2, 2),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    x0 = jnp.zeros((2, 14, 18, 5), jnp.float32)
+    _, vjp = jax.vjp(fwd, x0)
+    (want,) = vjp(y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_vgg19_endpoints(rng):
+    model = VGG19Features()
+    x = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    feats = model.apply({"params": params}, x)
+    assert feats["conv2_2"].shape == (1, 16, 16, 128)
+    assert feats["conv3_4"].shape == (1, 8, 8, 256)
+    assert feats["conv4_4"].shape == (1, 4, 4, 512)
+    assert feats["conv5_4"].shape == (1, 2, 2, 512)
+    # VGG19 conv-tower param count (no classifier): standard 20.02M.
+    assert n_params(params) == 20_024_384
