@@ -1,0 +1,159 @@
+"""The recurrent VSR step and training unroll.
+
+One frame step (parity with reference main.py:194-216 inference graph and
+lib/Teco.py:136-155 training unroll):
+
+  flow_lr  = fnet(concat(prev_lr, cur_lr))          # LR-pixel flow
+  flow_hr  = upscale_bilinear(flow_lr * 4, 4)       # HR flow
+  warped   = dense_image_warp(prev_hr, flow_hr)     # warp previous output
+  packed   = space_to_depth(warped, 4)              # (h, w, 48)
+  hr       = generator(concat(cur_lr, packed))      # [-1, 1]
+
+State convention: ``prev_hr`` is stored deprocessed in [0, 1] (matching
+reference main.py:206-207 where ``pre_gen`` holds ``deprocess(gen_output)``
+and Teco.py:143 where the warped previous output is deprocessed before
+space-to-depth packing).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tecogan_tpu.models.fnet import pad_flow_to
+from tecogan_tpu.ops import (
+    dense_image_warp,
+    deprocess,
+    space_to_depth,
+    upscale_bilinear,
+)
+
+
+class RecurrentState(NamedTuple):
+    prev_lr: jnp.ndarray  # (B, h, w, 3) in [0, 1]
+    prev_hr: jnp.ndarray  # (B, 4h, 4w, 3) in [0, 1]
+
+
+def init_state(batch: int, h: int, w: int, dtype=jnp.float32) -> RecurrentState:
+    """Zero state; parity with reference main.py:197-199 zero Variables."""
+    return RecurrentState(
+        prev_lr=jnp.zeros((batch, h, w, 3), dtype),
+        prev_hr=jnp.zeros((batch, 4 * h, 4 * w, 3), dtype),
+    )
+
+
+def upscale_flow(flow_lr: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """LR flow -> HR flow: symmetric-pad to (h, w), scale by 4, 4x bilinear
+    upsample (reference main.py:212-213, Teco.py:113)."""
+    flow_lr = pad_flow_to(flow_lr, h, w)
+    return upscale_bilinear(flow_lr * 4.0, 4)
+
+
+def frame_step(
+    gen_apply,
+    fnet_apply,
+    gen_params,
+    fnet_params,
+    state: RecurrentState,
+    lr_frame: jnp.ndarray,
+) -> Tuple[RecurrentState, jnp.ndarray]:
+    """Advance one frame. Returns (new_state, hr_frame in [0, 1])."""
+    b, h, w, _ = lr_frame.shape
+    flow_lr = fnet_apply(
+        {"params": fnet_params}, jnp.concatenate([state.prev_lr, lr_frame], axis=-1)
+    )
+    flow_hr = upscale_flow(flow_lr, h, w)
+    warped = dense_image_warp(state.prev_hr, flow_hr)
+    packed = space_to_depth(warped, 4)
+    gen_out = gen_apply(
+        {"params": gen_params}, jnp.concatenate([lr_frame, packed], axis=-1)
+    )
+    hr = deprocess(gen_out)
+    return RecurrentState(prev_lr=lr_frame, prev_hr=hr), hr
+
+
+def extend_pingpong(seq: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, ...) -> (B, 2T-1, ...): forward then reversed-without-last
+    (reference Teco.py:80-85)."""
+    return jnp.concatenate([seq, seq[:, -2::-1]], axis=1)
+
+
+def flows_for_sequence(
+    fnet_apply, fnet_params, r_inputs: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched fnet over all adjacent frame pairs of (B, T, h, w, 3).
+
+    Flattens to a single B*(T-1) batch so every pair rides one large MXU
+    conv pass (the reference does the same flattening, Teco.py:102-115).
+
+    Returns:
+      flow_lr: (B, T-1, h, w, 2) LR flow
+      flow_hr: (B, T-1, 4h, 4w, 2) HR flow
+    """
+    b, t, h, w, c = r_inputs.shape
+    pre = r_inputs[:, :-1].reshape(b * (t - 1), h, w, c)
+    cur = r_inputs[:, 1:].reshape(b * (t - 1), h, w, c)
+    flow_lr = fnet_apply(
+        {"params": fnet_params}, jnp.concatenate([pre, cur], axis=-1)
+    )
+    flow_hr = upscale_flow(flow_lr, h, w)
+    return (
+        flow_lr.reshape(b, t - 1, h, w, 2),
+        flow_hr.reshape(b, t - 1, 4 * h, 4 * w, 2),
+    )
+
+
+def unroll_generator(
+    gen_apply,
+    gen_params,
+    r_inputs: jnp.ndarray,
+    flow_hr: jnp.ndarray,
+    remat: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Recurrent generator unroll via lax.scan (reference Teco.py:125-164).
+
+    Args:
+      r_inputs: (B, T, h, w, 3) LR frames in [0, 1].
+      flow_hr: (B, T-1, 4h, 4w, 2) HR flows from :func:`flows_for_sequence`.
+      remat: rematerialize each frame's generator application in the backward
+        pass — the 2N-1 ping-pong unroll of 4x HR activations does not
+        otherwise fit HBM (SURVEY.md §7 "ping-pong memory").
+
+    Returns:
+      gen_outputs: (B, T, 4h, 4w, 3) in [-1, 1]
+      gen_warppre: (B, T-1, 4h, 4w, 3) warped previous outputs in [-1, 1]
+        (for telemetry/summaries, reference Teco.py:142,162-164)
+    """
+    b, t, h, w, _ = r_inputs.shape
+
+    # Frame 0: zero recurrent features (reference Teco.py:127-133).
+    inp0 = jnp.concatenate(
+        [r_inputs[:, 0], jnp.zeros((b, h, w, 48), r_inputs.dtype)], axis=-1
+    )
+    out0 = gen_apply({"params": gen_params}, inp0)  # [-1, 1]
+
+    def body(prev_out, xs):
+        lr, flow = xs  # (B, h, w, 3), (B, 4h, 4w, 2)
+        warped = dense_image_warp(prev_out, flow)  # [-1,1] domain warp
+        packed = space_to_depth(deprocess(warped), 4)  # pack in [0,1]
+        gen_out = gen_apply(
+            {"params": gen_params}, jnp.concatenate([lr, packed], axis=-1)
+        )
+        return gen_out, (gen_out, warped)
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    xs = (
+        r_inputs[:, 1:].transpose(1, 0, 2, 3, 4),
+        flow_hr.transpose(1, 0, 2, 3, 4),
+    )
+    _, (outs, warppre) = jax.lax.scan(body, out0, xs)
+
+    gen_outputs = jnp.concatenate(
+        [out0[:, None], outs.transpose(1, 0, 2, 3, 4)], axis=1
+    )
+    gen_warppre = warppre.transpose(1, 0, 2, 3, 4)
+    return gen_outputs, gen_warppre

@@ -1,0 +1,96 @@
+"""Recurrent step / unroll tests: train-vs-inference consistency, ping-pong
+ordering, streaming runner shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.models import FNet, Generator
+from tecogan_tpu.recurrent import (
+    StreamingSR,
+    extend_pingpong,
+    flows_for_sequence,
+    frame_step,
+    init_state,
+    unroll_generator,
+)
+from tecogan_tpu.recurrent.inference import prepend_warmup
+
+
+def make_models(rng_key, h=8, w=8, resblocks=2):
+    gen = Generator(num_resblock=resblocks)
+    fnet = FNet()
+    k1, k2 = jax.random.split(rng_key)
+    gp = gen.init(k1, jnp.zeros((1, h, w, 51)))["params"]
+    fp = fnet.init(k2, jnp.zeros((1, h, w, 6)))["params"]
+    return gen, fnet, gp, fp
+
+
+def test_unroll_matches_streaming_steps(rng):
+    """The training scan unroll and the inference per-frame step must produce
+    identical outputs for the same weights and frames."""
+    b, t, h, w = 2, 4, 8, 8
+    gen, fnet, gp, fp = make_models(jax.random.PRNGKey(0), h, w)
+    seq = jnp.asarray(rng.rand(b, t, h, w, 3), jnp.float32)
+
+    # Training path: batched flows + scan unroll.
+    _, flow_hr = flows_for_sequence(fnet.apply, fp, seq)
+    gen_outputs, warppre = unroll_generator(gen.apply, gp, seq, flow_hr, remat=False)
+    assert gen_outputs.shape == (b, t, 4 * h, 4 * w, 3)
+    assert warppre.shape == (b, t - 1, 4 * h, 4 * w, 3)
+
+    # Inference path: sequential frame_step from zero state.
+    state = init_state(b, h, w)
+    stream_outs = []
+    for i in range(t):
+        state, hr = frame_step(gen.apply, fnet.apply, gp, fp, state, seq[:, i])
+        stream_outs.append(hr)
+    stream = jnp.stack(stream_outs, axis=1)  # [0, 1] domain
+
+    from tecogan_tpu.ops import deprocess
+
+    np.testing.assert_allclose(
+        np.asarray(deprocess(gen_outputs)), np.asarray(stream), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_unroll_remat_matches_no_remat(rng):
+    b, t, h, w = 1, 3, 8, 8
+    gen, fnet, gp, fp = make_models(jax.random.PRNGKey(1), h, w)
+    seq = jnp.asarray(rng.rand(b, t, h, w, 3), jnp.float32)
+    _, flow_hr = flows_for_sequence(fnet.apply, fp, seq)
+    a, _ = unroll_generator(gen.apply, gp, seq, flow_hr, remat=False)
+    c, _ = unroll_generator(gen.apply, gp, seq, flow_hr, remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6)
+
+
+def test_extend_pingpong_order(rng):
+    x = jnp.arange(5)[None, :, None]  # (1, 5, 1)
+    ext = extend_pingpong(x)
+    np.testing.assert_array_equal(
+        np.asarray(ext[0, :, 0]), [0, 1, 2, 3, 4, 3, 2, 1, 0]
+    )
+    assert ext.shape[1] == 2 * 5 - 1
+
+
+def test_prepend_warmup_order():
+    frames = [f"f{i}" for i in range(8)]
+    got = prepend_warmup(frames)
+    assert got[:5] == ["f5", "f4", "f3", "f2", "f1"]
+    assert got[5:] == frames
+
+
+def test_streaming_sr_shapes_and_chunking(rng):
+    cfg = TecoConfig(num_resblock=2, infer_chunk=3)
+    h, w = 8, 8
+    gen, fnet, gp, fp = make_models(jax.random.PRNGKey(2), h, w)
+    sr = StreamingSR(cfg, gp, fp)
+    frames = rng.rand(7, h, w, 3).astype(np.float32)
+    out, secs = sr.run(frames, warmup=2)
+    assert out.shape == (5, 4 * h, 4 * w, 3)
+    assert secs > 0
+
+    # Chunk boundaries must not change results vs one big chunk.
+    out_big, _ = sr.run(frames, warmup=2, chunk=7)
+    np.testing.assert_allclose(out, out_big, rtol=1e-4, atol=1e-5)
