@@ -1,0 +1,171 @@
+"""TecoGAN / FRVSR loss functions (parity with reference lib/Teco.py:77-435).
+
+All reductions follow the reference exactly: the L2 losses are
+``mean(sum(sq, channel))`` (i.e. 3x the plain MSE), the ping-pong loss is a
+plain L1 mean, the VGG loss is one-minus-cosine-similarity per layer, and the
+discriminator feature losses are channel-sum L1 means scaled to a fixed range.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.ops import dense_image_warp, upscale_bilinear
+
+
+def content_loss(gen_outputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """L2 content loss: mean over pixels of the channel-summed square
+    (reference Teco.py:318-325)."""
+    diff = gen_outputs - targets
+    return jnp.mean(jnp.sum(jnp.square(diff), axis=-1))
+
+
+def warp_loss(
+    r_inputs: jnp.ndarray, flow_lr: jnp.ndarray
+) -> jnp.ndarray:
+    """FNet warp loss in the LR domain (reference Teco.py:120-122,328-335).
+
+    Warps frame t-1 by the predicted flow and compares to frame t.
+
+    Args:
+      r_inputs: (B, T, h, w, 3) LR frames in [0, 1].
+      flow_lr: (B, T-1, h, w, 2) LR flow.
+    """
+    b, t, h, w, c = r_inputs.shape
+    pre = r_inputs[:, :-1].reshape(b * (t - 1), h, w, c)
+    cur = r_inputs[:, 1:].reshape(b * (t - 1), h, w, c)
+    warped = dense_image_warp(pre, flow_lr.reshape(b * (t - 1), h, w, 2))
+    return jnp.mean(jnp.sum(jnp.square(cur - warped), axis=-1))
+
+
+def pingpong_loss(gen_outputs: jnp.ndarray, rnn_n: int) -> jnp.ndarray:
+    """L1 between the forward half and the reversed backward half of the
+    ping-pong unroll (reference Teco.py:362-372)."""
+    first = gen_outputs[:, 0 : rnn_n - 1]
+    last_rev = gen_outputs[:, -1 : -rnn_n : -1]
+    return jnp.mean(jnp.abs(first - last_rev))
+
+
+def vgg_cosine_loss(
+    gen_feats: Dict[str, jnp.ndarray], target_feats: Dict[str, jnp.ndarray]
+) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Sum over layers of (1 - mean cosine similarity); features are already
+    channel-L2-normalized (reference Teco.py:339-358)."""
+    per_layer = []
+    total = 0.0
+    for key in gen_feats:
+        cos = jnp.sum(gen_feats[key] * target_feats[key], axis=-1)
+        layer = 1.0 - jnp.mean(cos)
+        per_layer.append(layer)
+        total = total + layer
+    return total, per_layer
+
+
+def d_layer_losses(
+    real_layers: Sequence[jnp.ndarray],
+    fake_layers: Sequence[jnp.ndarray],
+    layer_norms: Sequence[float],
+    fix_range: float,
+) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Discriminator feature-matching losses (reference Teco.py:280-313).
+
+    Returns (sum of scaled layer losses for G, list of raw layer losses).
+    """
+    raw = []
+    total = 0.0
+    for real, fake, norm in zip(real_layers, fake_layers, layer_norms):
+        layer = jnp.mean(jnp.sum(jnp.abs(real - fake), axis=-1))
+        raw.append(layer)
+        total = total + fix_range * layer / norm
+    return total, raw
+
+
+# ---------------------------------------------------------------------------
+# Spatio-temporal discriminator input assembly (reference Teco.py:180-270)
+# ---------------------------------------------------------------------------
+def _triplet_channels(frames: jnp.ndarray, t_batch: int, h: int, w: int, c: int):
+    """(TB*3, H, W, C) -> (TB, H, W, 3C) with RRR GGG BBB channel order
+    (reference Teco.py:227-229: reshape to (tb,3,H,W,C), transpose to
+    (tb,H,W,C,3), merge last two)."""
+    x = frames.reshape(t_batch, 3, h, w, c)
+    x = x.transpose(0, 2, 3, 4, 1)
+    return x.reshape(t_batch, h, w, c * 3)
+
+
+def assemble_dst_inputs(
+    r_inputs: jnp.ndarray,
+    r_targets: jnp.ndarray,
+    gen_outputs: jnp.ndarray,
+    flow_hr: jnp.ndarray,
+    config: TecoConfig,
+    flow_hr_back: jnp.ndarray = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build the 27-channel real/fake Dst inputs.
+
+    Frames are grouped in consecutive triplets (t-1, t, t+1); each triplet
+    member is warped toward the middle frame (forward flow, zero, backward
+    flow — backward reused from the ping-pong extension, reference
+    Teco.py:206-209), the warped stack is center-cropped by ``crop_dt`` and
+    zero-padded back, and concatenated with the unwarped triplet and the
+    bilinear-upscaled LR triplet.
+
+    Under ``config.pingpong`` the backward flows are reused from the extended
+    sequence (reference Teco.py:206-209); otherwise the caller must pass
+    ``flow_hr_back`` of shape (B, T//3, 4h, 4w, 2) computed by fnet on the
+    reversed middle/next frame pairs (reference Teco.py:190-203).
+
+    Returns:
+      (real_27ch, fake_27ch), each (B * T//3, 4h, 4w, 27).
+    """
+    b, t, hr_h, hr_w, c = r_targets.shape
+    t_size = 3 * (t // 3)
+    t_batch = b * t_size // 3
+
+    t_targets = r_targets[:, :t_size].reshape(b * t_size, hr_h, hr_w, c)
+    t_gen = gen_outputs[:, :t_size].reshape(b * t_size, hr_h, hr_w, c)
+
+    # Flow triplets: forward, zero, backward (reference Teco.py:206-213).
+    v_pre = flow_hr[:, 0:t_size:3]
+    v_mid = jnp.zeros_like(v_pre)
+    if flow_hr_back is not None:
+        v_nxt = flow_hr_back
+    else:
+        assert config.pingpong, (
+            "Without ping-pong, backward flows must be passed explicitly "
+            "(reference Teco.py:190-203)"
+        )
+        v_nxt = flow_hr[:, -2 : -1 - t_size : -3]
+    t_vel = jnp.stack([v_pre, v_mid, v_nxt], axis=2)
+    t_vel = t_vel.reshape(b * t_size, hr_h, hr_w, 2)
+    t_vel = jax.lax.stop_gradient(t_vel)  # no D gradient into fnet (Teco.py:214)
+
+    def build(frames_flat: jnp.ndarray) -> jnp.ndarray:
+        warped = dense_image_warp(frames_flat, t_vel)
+        warped9 = _triplet_channels(warped, t_batch, hr_h, hr_w, c)
+        if config.crop_dt < 1.0:
+            # Center crop then zero-pad back (reference Teco.py:216-220,230-234).
+            crop = int(hr_h * config.crop_dt)
+            off = (hr_h - crop) // 2
+            crop = hr_h - 2 * off
+            mask = jnp.zeros((1, hr_h, hr_w, 1), frames_flat.dtype)
+            mask = mask.at[:, off : off + crop, off : off + crop, :].set(1.0)
+            warped9 = warped9 * mask
+        before9 = _triplet_channels(frames_flat, t_batch, hr_h, hr_w, c)
+        return before9, warped9
+
+    before_r, warped_r = build(t_targets)
+    before_f, warped_f = build(t_gen)
+
+    # Bilinear-upscaled LR triplet, shared by real and fake (Teco.py:240-244).
+    lr_h, lr_w = r_inputs.shape[2], r_inputs.shape[3]
+    t_in = r_inputs[:, :t_size].reshape(b * t_size, lr_h, lr_w, c)
+    t_in9 = _triplet_channels(t_in, t_batch, lr_h, lr_w, c)
+    input_hi = upscale_bilinear(t_in9, 4)
+
+    real = jnp.concatenate([before_r, warped_r, input_hi], axis=-1)
+    fake = jnp.concatenate([before_f, warped_f, input_hi], axis=-1)
+    return real, fake

@@ -1,0 +1,166 @@
+"""Trainer tests: FRVSR and TecoGAN step mechanics, adaptive-D gating,
+loss assembly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.train import Trainer, prepare_batch
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        num_resblock=2,
+        crop_size=8,
+        batch_size=2,
+        rnn_n=4,
+        vgg_scaling=-0.002,
+        learning_rate=1e-3,
+        remat_generator=False,
+    )
+    base.update(kw)
+    return TecoConfig(**base)
+
+
+def make_batch(cfg, rng, batch=2):
+    tar = cfg.hr_load_size
+    return jnp.asarray(
+        rng.rand(batch, cfg.rnn_n, tar, tar, 3).astype(np.float32)
+    )
+
+
+def test_prepare_batch_shapes(rng):
+    cfg = tiny_cfg()
+    hr = make_batch(cfg, rng)
+    lr, tar = prepare_batch(hr, cfg)
+    assert lr.shape == (2, 4, 8, 8, 3)
+    assert tar.shape == (2, 4, 32, 32, 3)
+    # LR in [0,1]; targets in [-1,1].
+    assert float(jnp.min(lr)) >= 0.0 and float(jnp.max(lr)) <= 1.0
+    assert float(jnp.min(tar)) >= -1.0 and float(jnp.max(tar)) <= 1.0
+
+
+def test_frvsr_train_step(rng):
+    cfg = tiny_cfg(ratio=-0.01)  # FRVSR: no GAN
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(cfg, rng)
+
+    before = jax.tree.map(lambda x: x.copy(), state.gen_params)
+    state2, metrics = trainer.train_step(state, batch)
+    assert int(state2.step) == 1
+    for key in ("l2_content_loss", "l2_warp_loss", "All_loss_Gen"):
+        v = float(metrics[key])
+        assert np.isfinite(v) and v >= 0, (key, v)
+    # Params actually moved.
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), before, state2.gen_params
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+
+    # Second step runs from donated state.
+    state3, _ = trainer.train_step(state2, batch)
+    assert int(state3.step) == 2
+    # EMA telemetry populated.
+    assert float(state3.ema_losses["l2_content_loss"]) > 0
+
+
+def test_tecogan_train_step_full(rng):
+    cfg = tiny_cfg(ratio=0.01, pingpong=True, pp_scaling=0.5, d_layerloss=True)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(cfg, rng)
+
+    state2, metrics = trainer.train_step(state, batch)
+    for key in (
+        "l2_content_loss",
+        "l2_warp_loss",
+        "PingPang",
+        "t_adversarial_loss",
+        "t_discrim_loss",
+        "D_layer_loss_sum",
+        "t_balance",
+        "All_loss_Gen",
+    ):
+        assert np.isfinite(float(metrics[key])), key
+    # D output stats in (0,1).
+    assert 0 < float(metrics["t_discrim_real_output"]) < 1
+    # First step: ema_tbalance starts at 0 < 0.4, so D trains.
+    assert int(state2.counter_with_d) == 1
+    assert int(state2.counter_wo_d) == 0
+    assert float(jnp.abs(state2.ema_tbalance)) > 0
+
+
+def test_adaptive_d_gate_blocks_updates(rng):
+    cfg = tiny_cfg(ratio=0.01, pingpong=True)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(cfg, rng)
+
+    # Force the gate closed: EMA(t_balance) far above Dbalance.
+    # (train_step donates its input state, so keep independent copies.)
+    d_before = jax.tree.map(lambda x: np.asarray(x).copy(), state.d_params)
+    closed = jax.tree.map(lambda x: x.copy(), state).replace(
+        ema_tbalance=jnp.asarray(100.0)
+    )
+    state2, _ = trainer.train_step(closed, batch)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), d_before, state2.d_params
+    )
+    assert max(jax.tree.leaves(diffs)) == 0.0  # D frozen
+    assert int(state2.counter_wo_d) == 1
+    # Generator still trains.
+    assert int(state2.step) == 1
+
+    # Gate open: D moves.
+    opened = jax.tree.map(lambda x: x.copy(), state).replace(
+        ema_tbalance=jnp.asarray(-100.0)
+    )
+    state3, _ = trainer.train_step(opened, batch)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), d_before, state3.d_params
+    )
+    assert max(jax.tree.leaves(diffs)) > 0.0
+
+
+def test_eval_step_no_mutation(rng):
+    cfg = tiny_cfg(ratio=0.01, pingpong=True)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(cfg, rng)
+    metrics = trainer.eval_step(state, batch)
+    assert np.isfinite(float(metrics["All_loss_Gen"]))
+
+
+def test_non_pingpong_gan_backward_flows(rng):
+    """GAN without ping-pong must compute explicit backward flows
+    (reference Teco.py:190-203)."""
+    cfg = tiny_cfg(ratio=0.01, pingpong=False, rnn_n=6)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(cfg, rng)
+    state2, metrics = trainer.train_step(state, batch)
+    assert np.isfinite(float(metrics["t_discrim_loss"]))
+
+
+def test_vgg_required_when_enabled():
+    cfg = tiny_cfg(vgg_scaling=0.2)
+    with pytest.raises(ValueError):
+        Trainer(cfg)
+
+
+def test_lr_schedule_decay():
+    from tecogan_tpu.train.trainer import lr_schedule
+
+    cfg = TecoConfig(learning_rate=1e-4, decay_step=100, decay_rate=0.5, stair=False)
+    s = lr_schedule(cfg)
+    np.testing.assert_allclose(float(s(0)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 5e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(s(50)), 1e-4 * 0.5**0.5, rtol=1e-6)
+
+    cfg_stair = cfg.replace(stair=True)
+    s2 = lr_schedule(cfg_stair)
+    np.testing.assert_allclose(float(s2(50)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(s2(150)), 5e-5, rtol=1e-6)
