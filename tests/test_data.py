@@ -1,0 +1,137 @@
+"""Data pipeline tests: synthetic scenes, loader augmentations, inference
+frame loading."""
+
+import numpy as np
+import pytest
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.data import (
+    BatchLoader,
+    SceneDataset,
+    load_inference_frames,
+    synthetic_clip,
+    write_synthetic_scenes,
+)
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scenes")
+    # 3 train scenes (2000-2002) + 1 val scene (2003), 12 frames of 96x112.
+    write_synthetic_scenes(str(root), 4, 12, 96, 112, start_index=2000)
+    return str(root)
+
+
+def cfg_for(scene_root, **kw):
+    base = dict(
+        input_video_dir=scene_root,
+        str_dir=2000,
+        end_dir=2002,
+        end_dir_val=2003,
+        max_frm=11,
+        rnn_n=4,
+        crop_size=16,
+        batch_size=2,
+        queue_thread=2,
+    )
+    base.update(kw)
+    return TecoConfig(**base)
+
+
+def test_synthetic_clip_motion():
+    clip = synthetic_clip(5, 32, 32, seed=1)
+    assert clip.shape == (5, 32, 32, 3)
+    assert clip.min() >= 0 and clip.max() <= 1
+    # Frames actually differ (motion present).
+    assert np.abs(clip[1] - clip[0]).mean() > 1e-3
+
+
+def test_scene_dataset_discovery(scene_root):
+    cfg = cfg_for(scene_root)
+    ds = SceneDataset(cfg)
+    assert len(ds.scenes) == 3
+    assert len(ds) == 3 * (11 - 4 + 1)
+    val = SceneDataset(cfg, validation=True)
+    assert len(val.scenes) == 1
+
+
+def test_scene_dataset_skips_short(scene_root, tmp_path):
+    import shutil
+
+    root = str(tmp_path / "scenes2")
+    shutil.copytree(scene_root, root)
+    # Truncate one scene below max_frm.
+    import os
+
+    victim = os.path.join(root, "scene_2001", "col_high_0011.png")
+    os.remove(victim)
+    ds = SceneDataset(cfg_for(root))
+    assert len(ds.scenes) == 2
+
+
+def test_load_sequence_shapes_and_determinism(scene_root):
+    cfg = cfg_for(scene_root)
+    ds = SceneDataset(cfg)
+    tar = cfg.hr_load_size
+    a = ds.load_sequence(0, np.random.RandomState(7))
+    b = ds.load_sequence(0, np.random.RandomState(7))
+    assert a.shape == (4, tar, tar, 3)
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.float32
+    assert a.min() >= 0 and a.max() <= 1
+
+
+def test_moving_first_frame_is_static_content(scene_root):
+    """When the pan augmentation triggers, every frame is a crop of frame 0 —
+    so consecutive frames are shifted copies (zero photometric change)."""
+    cfg = cfg_for(scene_root, moving_first_frame_prob=1.0)
+    ds = SceneDataset(cfg)
+    seq = ds.load_sequence(0, np.random.RandomState(3))
+    # All frames share the global pixel-value multiset characteristics of
+    # frame 0's area; verify shifted-copy property by cross-correlation:
+    # some integer shift aligns frame 1 to frame 0 exactly.
+    f0, f1 = seq[0], seq[1]
+    found = False
+    for dy in range(-4, 5):
+        for dx in range(-4, 5):
+            h, w = f0.shape[:2]
+            ys = slice(max(0, dy), min(h, h + dy))
+            xs = slice(max(0, dx), min(w, w + dx))
+            ys0 = slice(max(0, -dy), min(h, h - dy))
+            xs0 = slice(max(0, -dx), min(w, w - dx))
+            if np.array_equal(f1[ys0, xs0], f0[ys, xs]):
+                found = True
+                break
+        if found:
+            break
+    assert found
+
+
+def test_batch_loader(scene_root):
+    cfg = cfg_for(scene_root)
+    ds = SceneDataset(cfg)
+    with BatchLoader(ds, seed=0) as loader:
+        b1 = loader.next_batch()
+        b2 = loader.next_batch()
+    tar = cfg.hr_load_size
+    assert b1.shape == (2, 4, tar, tar, 3)
+    assert not np.array_equal(b1, b2)  # shuffled stream
+
+
+def test_inference_loader_warmup(scene_root):
+    import os
+
+    scene = os.path.join(scene_root, "scene_2000")
+    data = load_inference_frames(input_dir_lr=scene)
+    assert data.inputs.shape == (12 + 5, 96, 112, 3)
+    # Warm-up frames are reversed [5..1].
+    np.testing.assert_array_equal(data.inputs[0], data.inputs[10])
+    np.testing.assert_array_equal(data.inputs[4], data.inputs[6])
+
+
+def test_inference_loader_hr_downsample(scene_root):
+    import os
+
+    scene = os.path.join(scene_root, "scene_2000")
+    data = load_inference_frames(input_dir_hr=scene, warmup=False, max_frames=3)
+    assert data.inputs.shape == (3, 24, 28, 3)
