@@ -1,0 +1,244 @@
+"""Checkpoint save/restore.
+
+Capability parity with the reference's TF1 Saver workflows (SURVEY.md §5):
+
+- full resume: everything including Adam slots, EMA state and step
+  (reference main.py:346-348)
+- warm start: only generator/fnet (optionally discriminator) weights from a
+  previous run, everything else fresh — how FRVSR weights seed TecoGAN
+  training (reference main.py:312-320, lib/ops.py:370-391)
+- inference restore: generator + fnet params only (reference main.py:221-224)
+- ``max_to_keep=50`` retention (reference main.py:307)
+
+Storage is orbax-checkpoint. A converter ingests TF-slim checkpoints dumped
+to ``.npz`` (TF variable names -> arrays) for weight-porting from the
+published TecoGAN/FRVSR models; see :func:`convert_tf_npz`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+# ------------------------------------------------------------------ orbax io
+def _manager(ckpt_dir: str, keep: int = 50) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 50) -> None:
+    """Save a full TrainState (or any pytree) at ``step``."""
+    mgr = _manager(ckpt_dir, keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(ckpt_dir: str, template, step: Optional[int] = None):
+    """Restore a pytree saved by :func:`save_checkpoint`.
+
+    ``template`` supplies structure/shape/dtype (e.g. a freshly initialized
+    TrainState).
+    """
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"No checkpoint under {ckpt_dir}")
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr.close()
+    return restored
+
+
+# ------------------------------------------------------- partial warm start
+def warm_start(state, ckpt_dir: str, step: Optional[int] = None,
+               include_discriminator: bool = True):
+    """Load only model weights from a previous run's TrainState checkpoint.
+
+    Optimizer slots, EMA telemetry, counters and step stay fresh — parity
+    with reference ``pre_trained_model=True`` (main.py:312-320,351-352).
+    Missing subtrees (e.g. no discriminator in an FRVSR checkpoint) are left
+    at their fresh initialization (the reference zero-fills missing
+    *generator/fnet* vars via ``rest_zero``; for cross-model seeding the
+    fresh-init behaviour is strictly better and documented here).
+    """
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"No checkpoint under {ckpt_dir}")
+    # Restore lazily as a raw pytree dict to tolerate structure mismatch.
+    raw = mgr.restore(step, args=ocp.args.StandardRestore(None))
+    mgr.close()
+
+    def pick(name, current):
+        if current is None:
+            return None
+        if isinstance(raw, dict) and name in raw and raw[name] is not None:
+            loaded = jax.tree.map(jnp.asarray, raw[name])
+            # Structure check: same treedef required.
+            if jax.tree.structure(loaded) == jax.tree.structure(current):
+                return loaded
+            print(f"warm_start: structure mismatch for {name}; keeping fresh init")
+        else:
+            print(f"warm_start: {name} not in checkpoint; keeping fresh init")
+        return current
+
+    updates = dict(
+        gen_params=pick("gen_params", state.gen_params),
+        fnet_params=pick("fnet_params", state.fnet_params),
+    )
+    if include_discriminator and state.d_params is not None:
+        updates["d_params"] = pick("d_params", state.d_params)
+        updates["d_batch_stats"] = pick("d_batch_stats", state.d_batch_stats)
+    return state.replace(**updates)
+
+
+# ------------------------------------------------- TF-slim name conversion
+# Mapping from our flax module names to TF-slim scope names
+# (reference frvsr.py:59-80, frvsr.py:26-38, Teco.py:44-71; SURVEY.md §5
+# "checkpoint namespace contract").
+def _get(data, *candidates):
+    for c in candidates:
+        if c in data:
+            return data[c]
+    raise KeyError(f"none of {candidates} in checkpoint npz")
+
+
+def convert_tf_npz(npz_path: str, num_resblock: int = 16) -> Dict[str, Any]:
+    """Convert a TF TecoGAN/FRVSR checkpoint (dumped to npz) to flax params.
+
+    The npz maps TF variable names to arrays; produce it with any TF install:
+
+        reader = tf.train.load_checkpoint(ckpt)
+        np.savez(out, **{name: reader.get_tensor(name)
+                         for name in reader.get_variable_to_shape_map()})
+
+    Returns dict with 'generator' and 'fnet' param trees (and 'discriminator'
+    when present).
+    """
+    data = dict(np.load(npz_path))
+
+    def conv(tf_scope):
+        return {
+            "kernel": jnp.asarray(_get(data, f"{tf_scope}/Conv/weights",
+                                       f"{tf_scope}/weights")),
+            "bias": jnp.asarray(_get(data, f"{tf_scope}/Conv/biases",
+                                     f"{tf_scope}/biases")),
+        }
+
+    def conv_tran(tf_scope):
+        # TF conv2d_transpose kernel layout [k,k,out,in] matches our
+        # ConvTranspose(transpose_kernel=True) layout directly.
+        return {
+            "kernel": jnp.asarray(_get(data, f"{tf_scope}/Conv2d_transpose/weights",
+                                       f"{tf_scope}/weights")),
+            "bias": jnp.asarray(_get(data, f"{tf_scope}/Conv2d_transpose/biases",
+                                     f"{tf_scope}/biases")),
+        }
+
+    g = "generator/generator_unit"
+    gen = {"input_stage_conv": conv(f"{g}/input_stage/conv")}
+    for i in range(1, num_resblock + 1):
+        gen[f"resblock_{i}_conv_1"] = conv(f"{g}/resblock_{i}/conv_1")
+        gen[f"resblock_{i}_conv_2"] = conv(f"{g}/resblock_{i}/conv_2")
+    gen["conv_tran1"] = conv_tran(f"{g}/conv_tran2highres/conv_tran1")
+    gen["conv_tran2"] = conv_tran(f"{g}/conv_tran2highres/conv_tran2")
+    gen["output_stage_conv"] = conv(f"{g}/output_stage/conv")
+
+    f = "fnet/autoencode_unit"
+    fnet = {}
+    for i in (1, 2, 3):
+        for j in (1, 2):
+            fnet[f"encoder_{i}_conv_{j}"] = conv(f"{f}/encoder_{i}/conv_{j}")
+            fnet[f"decoder_{i}_conv_{j}"] = conv(f"{f}/decoder_{i}/conv_{j}")
+    fnet["output_conv1"] = conv(f"{f}/output_stage/conv1")
+    fnet["output_conv2"] = conv(f"{f}/output_stage/conv2")
+
+    out = {"generator": gen, "fnet": fnet}
+
+    d = "tdiscriminator/discriminator_unit"
+    if any(k.startswith("tdiscriminator") for k in data):
+        disc = {"input_stage_conv": conv(f"{d}/input_stage/conv")}
+        stats = {}
+        for idx in (1, 3, 5, 7):
+            disc[f"disblock_{idx}_conv"] = {
+                "kernel": jnp.asarray(
+                    _get(data, f"{d}/disblock_{idx}/conv1/Conv/weights")
+                )
+            }
+            disc[f"disblock_{idx}_bn"] = {
+                "bn": {
+                    "bias": jnp.asarray(
+                        _get(data, f"{d}/disblock_{idx}/BatchNorm/beta")
+                    )
+                }
+            }
+            stats[f"disblock_{idx}_bn"] = {
+                "bn": {
+                    "mean": jnp.asarray(
+                        _get(data, f"{d}/disblock_{idx}/BatchNorm/moving_mean")
+                    ),
+                    "var": jnp.asarray(
+                        _get(data, f"{d}/disblock_{idx}/BatchNorm/moving_variance")
+                    ),
+                }
+            }
+        disc["dense"] = {
+            "kernel": jnp.asarray(
+                _get(data, f"{d}/dense_layer_2/dense/kernel")
+            ).reshape(-1, 1),
+            "bias": jnp.asarray(_get(data, f"{d}/dense_layer_2/dense/bias")),
+        }
+        out["discriminator"] = disc
+        out["discriminator_batch_stats"] = stats
+    return out
+
+
+# ----------------------------------------------------------- plain npz io
+def params_to_npz(path: str, **param_trees) -> None:
+    """Flatten named param trees into one npz (our own interchange format)."""
+    flat = {}
+    for name, tree in param_trees.items():
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for keypath, leaf in leaves:
+            key = name + "/" + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
+            )
+            flat[key] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def npz_to_params(path: str, template_trees: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`params_to_npz` given structure templates."""
+    data = np.load(path)
+    out = {}
+    for name, template in template_trees.items():
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+        new_leaves = []
+        for keypath, leaf in leaves:
+            key = name + "/" + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
+            )
+            arr = jnp.asarray(data[key])
+            assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
+            new_leaves.append(arr)
+        out[name] = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template), new_leaves
+        )
+    return out

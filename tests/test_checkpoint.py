@@ -1,0 +1,149 @@
+"""Checkpoint tests: full resume, warm start, npz interchange, TF-name
+conversion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.train import Trainer
+from tecogan_tpu.train.checkpoint import (
+    convert_tf_npz,
+    latest_step,
+    npz_to_params,
+    params_to_npz,
+    restore_checkpoint,
+    save_checkpoint,
+    warm_start,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        num_resblock=2, crop_size=8, batch_size=1, rnn_n=3,
+        vgg_scaling=-0.002, remat_generator=False,
+    )
+    base.update(kw)
+    return TecoConfig(**base)
+
+
+def trees_equal(a, b):
+    return all(
+        jax.tree.leaves(
+            jax.tree.map(lambda x, y: bool(jnp.all(x == y)), a, b)
+        )
+    )
+
+
+def test_save_restore_roundtrip(tmp_path, rng):
+    cfg = tiny_cfg(ratio=0.01, pingpong=True)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    tar = cfg.hr_load_size
+    batch = jnp.asarray(rng.rand(1, 3, tar, tar, 3).astype(np.float32))
+    state, _ = trainer.train_step(state, batch)
+
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, state, int(state.step))
+    assert latest_step(d) == 1
+
+    template = trainer.init_state(jax.random.PRNGKey(1))
+    restored = restore_checkpoint(d, template)
+    assert int(restored.step) == 1
+    assert trees_equal(restored.gen_params, state.gen_params)
+    assert trees_equal(restored.d_params, state.d_params)
+    assert trees_equal(restored.gen_opt, state.gen_opt)
+
+
+def test_warm_start_frvsr_to_tecogan(tmp_path, rng):
+    """FRVSR checkpoint seeds TecoGAN: G/F weights load, D stays fresh,
+    opt state and step reset (reference main.py:312-320)."""
+    frvsr_cfg = tiny_cfg(ratio=-0.01)
+    frvsr = Trainer(frvsr_cfg)
+    fstate = frvsr.init_state(jax.random.PRNGKey(0))
+    tar = frvsr_cfg.hr_load_size
+    batch = jnp.asarray(rng.rand(1, 3, tar, tar, 3).astype(np.float32))
+    fstate, _ = frvsr.train_step(fstate, batch)
+    d = str(tmp_path / "frvsr")
+    save_checkpoint(d, fstate, 1)
+
+    teco_cfg = tiny_cfg(ratio=0.01, pingpong=True)
+    teco = Trainer(teco_cfg)
+    tstate = teco.init_state(jax.random.PRNGKey(7))
+    d_fresh = jax.tree.map(lambda x: x.copy(), tstate.d_params)
+    seeded = warm_start(tstate, d)
+    assert trees_equal(seeded.gen_params, fstate.gen_params)
+    assert trees_equal(seeded.fnet_params, fstate.fnet_params)
+    assert trees_equal(seeded.d_params, d_fresh)  # no D in FRVSR ckpt
+    assert int(seeded.step) == 0  # fresh training
+
+
+def test_params_npz_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    p = str(tmp_path / "w.npz")
+    params_to_npz(p, generator=state.gen_params, fnet=state.fnet_params)
+    out = npz_to_params(
+        p, {"generator": state.gen_params, "fnet": state.fnet_params}
+    )
+    assert trees_equal(out["generator"], state.gen_params)
+    assert trees_equal(out["fnet"], state.fnet_params)
+
+
+def test_convert_tf_npz(tmp_path):
+    """Synthesize a TF-named npz and verify it converts and actually runs
+    through the models."""
+    rng = np.random.RandomState(0)
+    data = {}
+
+    def add_conv(scope, cin, cout, k=3):
+        data[f"{scope}/Conv/weights"] = rng.randn(k, k, cin, cout).astype(np.float32)
+        data[f"{scope}/Conv/biases"] = rng.randn(cout).astype(np.float32)
+
+    def add_tran(scope, cin, cout, k=3):
+        # TF layout [k, k, out, in]
+        data[f"{scope}/Conv2d_transpose/weights"] = rng.randn(
+            k, k, cout, cin
+        ).astype(np.float32)
+        data[f"{scope}/Conv2d_transpose/biases"] = rng.randn(cout).astype(np.float32)
+
+    g = "generator/generator_unit"
+    add_conv(f"{g}/input_stage/conv", 51, 64)
+    for i in (1, 2):
+        add_conv(f"{g}/resblock_{i}/conv_1", 64, 64)
+        add_conv(f"{g}/resblock_{i}/conv_2", 64, 64)
+    add_tran(f"{g}/conv_tran2highres/conv_tran1", 64, 64)
+    add_tran(f"{g}/conv_tran2highres/conv_tran2", 64, 64)
+    add_conv(f"{g}/output_stage/conv", 64, 3)
+
+    f = "fnet/autoencode_unit"
+    enc_ch = [(6, 32), (32, 64), (64, 128)]
+    dec_ch = [(128, 256), (256, 128), (128, 64)]
+    for i in (1, 2, 3):
+        ci, co = enc_ch[i - 1]
+        add_conv(f"{f}/encoder_{i}/conv_1", ci, co)
+        add_conv(f"{f}/encoder_{i}/conv_2", co, co)
+        ci, co = dec_ch[i - 1]
+        add_conv(f"{f}/decoder_{i}/conv_1", ci, co)
+        add_conv(f"{f}/decoder_{i}/conv_2", co, co)
+    add_conv(f"{f}/output_stage/conv1", 64, 32)
+    add_conv(f"{f}/output_stage/conv2", 32, 2)
+
+    path = str(tmp_path / "tf.npz")
+    np.savez(path, **data)
+    converted = convert_tf_npz(path, num_resblock=2)
+
+    # Structures must match freshly initialized models, and apply must run.
+    from tecogan_tpu.models import FNet, Generator
+
+    gen = Generator(num_resblock=2)
+    fnet = FNet()
+    gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 51)))["params"]
+    fp = fnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 6)))["params"]
+    assert jax.tree.structure(converted["generator"]) == jax.tree.structure(gp)
+    assert jax.tree.structure(converted["fnet"]) == jax.tree.structure(fp)
+    out = gen.apply({"params": converted["generator"]}, jnp.zeros((1, 8, 8, 51)))
+    assert out.shape == (1, 32, 32, 3)
+    flow = fnet.apply({"params": converted["fnet"]}, jnp.zeros((1, 8, 8, 6)))
+    assert flow.shape == (1, 8, 8, 2)
