@@ -1,0 +1,31 @@
+"""Parallelism over TPU meshes.
+
+The reference is strictly single-GPU (SURVEY.md §2.3: every graph chunk pins
+``/gpu:0``; no NCCL/MPI anywhere). Here scaling is first-class and purely
+XLA-native:
+
+- **data parallel** training: batch sharded over a 1-D ``data`` mesh axis;
+  parameters replicated; gradient all-reduce emitted by GSPMD from the
+  sharding annotations — no hand-written collectives.
+- **spatial sharding** for huge-frame streaming inference (the "context
+  parallelism" analog for video SR): frame height sharded over a ``space``
+  axis; XLA spatial partitioning inserts the conv halo exchanges.
+"""
+
+from tecogan_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)
+from tecogan_tpu.parallel.dp import DataParallelTrainer
+from tecogan_tpu.parallel.spatial import spatial_streaming_fn
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "DataParallelTrainer",
+    "spatial_streaming_fn",
+]
