@@ -1,0 +1,227 @@
+"""Inference / training entry point (reference main.py).
+
+Flag names keep the reference's spelling where behavior matches
+(``--mode``, ``--input_dir_LR``, ``--output_dir``, ``--num_resblock``,
+``--rand_seed`` — reference main.py:30-105) so existing run recipes port
+1:1; everything else rides the typed :class:`TecoConfig`.
+
+Weight sources for inference, in precedence order:
+  --checkpoint   orbax TrainState checkpoint dir written by our trainer
+  --tf_npz       a TF TecoGAN/FRVSR checkpoint dumped to npz
+                 (see train/checkpoint.py:convert_tf_npz)
+  --params_npz   our own npz interchange (train/checkpoint.py:params_to_npz)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("tecogan_tpu.cli.main")
+    p.add_argument("--mode", required=True, choices=["inference", "train"])
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--summary_dir", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--tf_npz", default=None)
+    p.add_argument("--params_npz", default=None)
+    p.add_argument("--pre_trained_dir", default=None,
+                   help="warm-start weights from a previous run's checkpoints")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="inference smoke mode without pretrained weights")
+    # inference
+    p.add_argument("--input_dir_LR", default=None)
+    p.add_argument("--input_dir_HR", default=None)
+    p.add_argument("--output_pre", default="",
+                   help="subfolder of output_dir for this scene")
+    p.add_argument("--output_name", default="output")
+    p.add_argument("--output_ext", default="png")
+    p.add_argument("--max_frames", type=int, default=-1)
+    # model / train
+    p.add_argument("--num_resblock", type=int, default=16)
+    p.add_argument("--rand_seed", type=int, default=1)
+    p.add_argument("--preset", default=None,
+                   choices=[None, "frvsr", "tecogan", "mini"])
+    p.add_argument("--input_video_dir", default="")
+    p.add_argument("--vgg_npz", default=None,
+                   help="VGG19 weights npz for the perceptual loss")
+    p.add_argument("--max_iter", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--crop_size", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--ratio", type=float, default=None)
+    p.add_argument("--vgg_scaling", type=float, default=None)
+    p.add_argument("--str_dir", type=int, default=None)
+    p.add_argument("--end_dir", type=int, default=None)
+    p.add_argument("--end_dir_val", type=int, default=None)
+    p.add_argument("--max_frm", type=int, default=None)
+    p.add_argument("--queue_thread", type=int, default=None)
+    p.add_argument("--infer_chunk", type=int, default=None)
+    p.add_argument("--compute_dtype", default=None)
+    p.add_argument("--no_mesh", action="store_true",
+                   help="force single-device training")
+    p.add_argument("--no_test_while_train", action="store_true")
+    return p
+
+
+def config_from_args(args) -> "TecoConfig":
+    from tecogan_tpu.config import (
+        FRVSR_PRESET, MINI_PRESET, TECOGAN_PRESET, TecoConfig,
+    )
+
+    base = {
+        "frvsr": FRVSR_PRESET, "tecogan": TECOGAN_PRESET, "mini": MINI_PRESET,
+    }.get(args.preset, TecoConfig())
+    overrides = {}
+    for field in ("num_resblock", "rand_seed", "input_video_dir", "max_iter",
+                  "batch_size", "crop_size", "learning_rate", "ratio",
+                  "vgg_scaling", "str_dir", "end_dir", "end_dir_val",
+                  "max_frm", "queue_thread", "infer_chunk", "compute_dtype"):
+        v = getattr(args, field)
+        if v is not None and not (isinstance(v, str) and v == ""):
+            overrides[field] = v
+    return base.replace(**overrides)
+
+
+def load_inference_params(args, config):
+    """Resolve generator/fnet params from the configured weight source."""
+    import jax
+    import jax.numpy as jnp
+
+    from tecogan_tpu.models import FNet, Generator
+
+    if args.checkpoint:
+        import orbax.checkpoint as ocp
+
+        from tecogan_tpu.train.checkpoint import _manager
+
+        mgr = _manager(args.checkpoint)
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoint under {args.checkpoint}")
+        raw = mgr.restore(step, args=ocp.args.StandardRestore(None))
+        mgr.close()
+        print(f"Loaded checkpoint step {step} from {args.checkpoint}")
+        return raw["gen_params"], raw["fnet_params"]
+    if args.tf_npz:
+        from tecogan_tpu.train.checkpoint import convert_tf_npz
+
+        trees = convert_tf_npz(args.tf_npz, num_resblock=config.num_resblock)
+        return trees["generator"], trees["fnet"]
+    if args.params_npz:
+        from tecogan_tpu.train.checkpoint import npz_to_params
+
+        gen = Generator(num_resblock=config.num_resblock,
+                        channels=config.gen_channels)
+        fnet = FNet(channels=config.fnet_channels,
+                    up_channels=config.fnet_up_channels,
+                    max_velocity=config.flow_max_velocity)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        tmpl = {
+            "generator": gen.init(k1, jnp.zeros((1, 32, 32, 51)))["params"],
+            "fnet": fnet.init(k2, jnp.zeros((1, 32, 32, 6)))["params"],
+        }
+        trees = npz_to_params(args.params_npz, tmpl)
+        return trees["generator"], trees["fnet"]
+    if args.allow_random_weights:
+        print("WARNING: random weights (smoke mode, not a trained model)")
+        gen = Generator(num_resblock=config.num_resblock,
+                        channels=config.gen_channels)
+        fnet = FNet(channels=config.fnet_channels,
+                    up_channels=config.fnet_up_channels,
+                    max_velocity=config.flow_max_velocity)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(config.rand_seed))
+        return (
+            gen.init(k1, jnp.zeros((1, 32, 32, 51)))["params"],
+            fnet.init(k2, jnp.zeros((1, 32, 32, 6)))["params"],
+        )
+    raise SystemExit(
+        "inference needs --checkpoint, --tf_npz, --params_npz, "
+        "or --allow_random_weights"
+    )
+
+
+def run_inference(args, config) -> None:
+    """Streaming inference over a PNG directory (reference main.py:180-270)."""
+    import cv2
+
+    from tecogan_tpu.data.inference import load_inference_frames
+    from tecogan_tpu.recurrent.inference import WARMUP_FRAMES, StreamingSR
+
+    data = load_inference_frames(
+        input_dir_lr=args.input_dir_LR,
+        input_dir_hr=args.input_dir_HR,
+        max_frames=args.max_frames,
+    )
+    gen_params, fnet_params = load_inference_params(args, config)
+    sr = StreamingSR(config, gen_params, fnet_params, output="uint8")
+    hr, secs = sr.run(data.inputs, warmup=WARMUP_FRAMES)
+    n = data.inputs.shape[0]
+    print(f"total time {secs:.2f}, frame number {n}")  # main.py:270 format
+
+    out_dir = os.path.join(args.output_dir, args.output_pre)
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(hr.shape[0]):
+        path = os.path.join(
+            out_dir, f"{args.output_name}_{i:04d}.{args.output_ext}"
+        )
+        cv2.imwrite(path, hr[i][:, :, ::-1])
+    print(f"Wrote {hr.shape[0]} frames to {out_dir}")
+
+
+def run_train(args, config) -> None:
+    from tecogan_tpu.train.loop import train
+
+    vgg_params = None
+    if config.vgg_scaling > 0:
+        if not args.vgg_npz:
+            raise SystemExit("--vgg_npz required when vgg_scaling > 0")
+        from tecogan_tpu.models.vgg19 import load_vgg19_npz
+
+        vgg_params = load_vgg19_npz(args.vgg_npz)
+    train(
+        config,
+        output_dir=args.output_dir,
+        summary_dir=args.summary_dir,
+        vgg_params=vgg_params,
+        pre_trained_dir=args.pre_trained_dir,
+        use_mesh=not args.no_mesh,
+        test_while_train=not args.no_test_while_train,
+    )
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+
+    # Seed everything seedable (reference main.py:15-19,109-113).
+    random.seed(config.rand_seed)
+    np.random.seed(config.rand_seed)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    log_dir = args.summary_dir or args.output_dir
+    os.makedirs(log_dir, exist_ok=True)
+    from tecogan_tpu.utils.logging import Tee
+
+    tee = Tee(os.path.join(log_dir, "logfile.txt")).install()
+    try:
+        print("[Configurations]:")
+        for k, v in sorted(vars(args).items()):
+            print(f"\t{k}: {v}")
+        print("End of configuration")
+        if args.mode == "inference":
+            run_inference(args, config)
+        else:
+            run_train(args, config)
+    finally:
+        tee.uninstall()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""CLI, training driver, and summary-utility tests (CPU, tiny shapes)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tecogan_tpu.cli.main import build_parser, config_from_args
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.data.synthetic import write_synthetic_scenes
+from tecogan_tpu.utils.logging import Tee, param_summary
+from tecogan_tpu.utils.summaries import SummaryLogger, encode_gif
+
+
+def test_config_from_args_presets_and_overrides():
+    args = build_parser().parse_args(
+        ["--mode", "train", "--output_dir", "/tmp/x", "--preset", "frvsr",
+         "--num_resblock", "4", "--batch_size", "2"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.num_resblock == 4          # override wins
+    assert cfg.batch_size == 2
+    assert cfg.ratio < 0                  # FRVSR preset: no GAN
+    assert cfg.learning_rate == 5e-5
+
+    args = build_parser().parse_args(
+        ["--mode", "train", "--output_dir", "/tmp/x", "--preset", "tecogan"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.gan and cfg.pingpong and cfg.num_resblock == 16
+
+
+def test_param_summary_counts():
+    params = {"layer": {"kernel": np.zeros((3, 3, 4, 8)), "bias": np.zeros(8)}}
+    lines = []
+    total = param_summary("gen", params, print_fn=lines.append)
+    assert total == 3 * 3 * 4 * 8 + 8
+    assert any("gen/layer/kernel" in l for l in lines)
+
+
+def test_tee(tmp_path):
+    p = tmp_path / "log.txt"
+    tee = Tee(str(p))
+    tee.write("hello\n")
+    tee.flush()
+    assert "hello" in p.read_text()
+    tee.log.close()
+
+
+def test_encode_gif_and_summary_logger(tmp_path):
+    frames = (np.random.RandomState(0).rand(4, 16, 16, 3) * 255).astype(np.uint8)
+    gif = tmp_path / "clip.gif"
+    encode_gif(frames, str(gif), fps=4)
+    assert gif.stat().st_size > 0
+
+    log = SummaryLogger(str(tmp_path / "tb"))
+    log.scalars(10, {"loss": 1.5}, prefix="val_")
+    log.gif(10, "seq", frames[None].astype(np.float32) / 255.0)
+    log.close()
+    rows = [json.loads(l) for l in
+            (tmp_path / "tb" / "scalars.jsonl").read_text().splitlines()]
+    assert rows[0]["val_loss"] == 1.5
+    assert any(f.endswith(".gif") for f in os.listdir(tmp_path / "tb"))
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scenes")
+    write_synthetic_scenes(str(root), num_scenes=3, num_frames=24,
+                           height=96, width=112, start_index=2000)
+    return str(root)
+
+
+def test_train_driver_end_to_end(scene_root, tmp_path):
+    """train() runs steps, saves + resumes checkpoints (single CPU device)."""
+    from tecogan_tpu.train.loop import train
+
+    cfg = TecoConfig(
+        num_resblock=2, crop_size=8, batch_size=2, rnn_n=3,
+        ratio=-0.01, vgg_scaling=-0.002, remat_generator=False,
+        input_video_dir=scene_root, str_dir=2000, end_dir=2001,
+        end_dir_val=2002, max_frm=23, queue_thread=2,
+        display_freq=2, summary_freq=4, save_freq=100,
+    )
+    out = str(tmp_path / "run")
+    state = train(cfg, out, max_steps=5, use_mesh=False,
+                  test_while_train=False)
+    assert int(np.asarray(state.step)) == 5
+    assert os.path.exists(os.path.join(out, "checkpoints"))
+    assert os.path.exists(os.path.join(out, "log", "scalars.jsonl"))
+    assert os.path.exists(os.path.join(out, "config.json"))
+
+    # Resume continues from saved step.
+    state = train(cfg, out, max_steps=7, use_mesh=False,
+                  test_while_train=False)
+    assert int(np.asarray(state.step)) == 7
+
+
+def test_warm_start_from_checkpoint(scene_root, tmp_path):
+    """A TecoGAN-mode state warm-starts G/F weights from an FRVSR run."""
+    import jax
+
+    from tecogan_tpu.train.checkpoint import save_checkpoint, warm_start
+    from tecogan_tpu.train.trainer import Trainer
+
+    frvsr_cfg = TecoConfig(num_resblock=2, crop_size=8, batch_size=2,
+                           rnn_n=3, ratio=-0.01, vgg_scaling=-0.002,
+                           remat_generator=False)
+    t1 = Trainer(frvsr_cfg)
+    s1 = t1.init_state(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "frvsr_ckpt")
+    save_checkpoint(ckpt, s1, 1)
+
+    gan_cfg = frvsr_cfg.replace(ratio=0.01, pingpong=True)
+    t2 = Trainer(gan_cfg)
+    s2 = t2.init_state(jax.random.PRNGKey(1))
+    s3 = warm_start(s2, ckpt)
+    # gen/fnet weights match the FRVSR checkpoint...
+    a = jax.tree.leaves(s1.gen_params)[0]
+    b = jax.tree.leaves(s3.gen_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...while the discriminator stays freshly initialized.
+    assert s3.d_params is not None
+    assert int(np.asarray(s3.step)) == 0
