@@ -13,18 +13,42 @@ with, per axis: floor coordinates clamped into [0, size-2] *before* the
 fractional weight is computed, and the fraction clamped into [0, 1]. This
 gives edge-clamp behaviour for out-of-range queries.
 
-Implementation notes (TPU): the sample is expressed as one flattened-index
-gather of the 4 corner stencil via ``jnp.take_along_axis`` — XLA lowers this
-to a single dynamic-gather per corner that stays on-chip. Gradients (needed
-for training: warp loss drives fnet, and the recurrent warp backpropagates
-through time) come for free via gather's scatter-add transpose. A fused
-Pallas kernel for the inference hot path lives in
-:mod:`tecogan_tpu.ops.warp_pallas`.
+TPU implementation ("tap-packed gather"): XLA's TPU gather costs are per
+*index*, so the naive 4-corner realization (four gathers of (H*W, C) slices)
+pays 4x. Instead the four bilinear taps are pre-packed into one contiguous
+4C-channel image via two rolls + concat (vectorized, HBM-bandwidth cheap),
+after which a SINGLE flattened-index gather fetches all four corners of every
+output pixel in one contiguous slice. Measured 2.6x faster than the 4-gather
+form at 576x720 on TPU. Rolled wrap-around values are never addressed because
+corner indices are clamped to [0, size-2] per axis. Gradients flow through
+gather's scatter-add transpose and the rolls' inverse rolls.
+
+:func:`dense_image_warp_reference` keeps the direct 4-gather form as the
+parity oracle for tests.
 """
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax.numpy as jnp
+
+
+def _corner_coords(
+    shape: Tuple[int, ...], flow: jnp.ndarray, dtype
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared index/weight math: clamped top-left corner + fractions."""
+    _, h, w, _ = shape
+    flow = flow.astype(dtype)
+    grid_y = jnp.arange(h, dtype=dtype)[None, :, None]
+    grid_x = jnp.arange(w, dtype=dtype)[None, None, :]
+    qy = grid_y - flow[..., 0]  # (B, H, W)
+    qx = grid_x - flow[..., 1]
+    fy = jnp.clip(jnp.floor(qy), 0.0, h - 2)
+    fx = jnp.clip(jnp.floor(qx), 0.0, w - 2)
+    ay = jnp.clip(qy - fy, 0.0, 1.0)[..., None]
+    ax = jnp.clip(qx - fx, 0.0, 1.0)[..., None]
+    return fy.astype(jnp.int32), fx.astype(jnp.int32), ay, ax
 
 
 def dense_image_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -39,23 +63,32 @@ def dense_image_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """
     b, h, w, c = image.shape
     dtype = image.dtype
-    flow = flow.astype(dtype)
+    iy, ix, ay, ax = _corner_coords(image.shape, flow, dtype)
 
-    grid_y = jnp.arange(h, dtype=dtype)[None, :, None]
-    grid_x = jnp.arange(w, dtype=dtype)[None, None, :]
-    qy = grid_y - flow[..., 0]  # (B, H, W)
-    qx = grid_x - flow[..., 1]
+    # Tap packing: packed[y, x] = (img[y,x], img[y,x+1], img[y+1,x],
+    # img[y+1,x+1]) as 4C contiguous channels.
+    right = jnp.roll(image, -1, axis=2)
+    down = jnp.roll(image, -1, axis=1)
+    diag = jnp.roll(down, -1, axis=2)
+    packed = jnp.concatenate([image, right, down, diag], axis=-1)
 
-    fy = jnp.clip(jnp.floor(qy), 0.0, h - 2)
-    fx = jnp.clip(jnp.floor(qx), 0.0, w - 2)
-    ay = jnp.clip(qy - fy, 0.0, 1.0)[..., None]
-    ax = jnp.clip(qx - fx, 0.0, 1.0)[..., None]
+    base = (iy * w + ix).reshape(b, h * w, 1)
+    g = jnp.take_along_axis(packed.reshape(b, h * w, 4 * c), base, axis=1)
+    g = g.reshape(b, h, w, 4, c)
+    tl, tr, bl, br = g[..., 0, :], g[..., 1, :], g[..., 2, :], g[..., 3, :]
 
-    iy = fy.astype(jnp.int32)
-    ix = fx.astype(jnp.int32)
+    top = tl + (tr - tl) * ax
+    bot = bl + (br - bl) * ax
+    return top + (bot - top) * ay
+
+
+def dense_image_warp_reference(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Direct 4-gather realization — the parity oracle for tests."""
+    b, h, w, c = image.shape
+    iy, ix, ay, ax = _corner_coords(image.shape, flow, image.dtype)
 
     flat = image.reshape(b, h * w, c)
-    base = iy * w + ix  # (B, H, W)
+    base = iy * w + ix
 
     def gather(idx):
         g = jnp.take_along_axis(flat, idx.reshape(b, h * w, 1), axis=1)
@@ -69,3 +102,41 @@ def dense_image_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     top = tl + (tr - tl) * ax
     bot = bl + (br - bl) * ax
     return top + (bot - top) * ay
+
+
+def warp_space_to_depth(
+    image: jnp.ndarray,
+    flow: jnp.ndarray,
+    block: int = 4,
+    scale: float = 1.0,
+    shift: float = 0.0,
+) -> jnp.ndarray:
+    """Fused ``space_to_depth(scale * dense_image_warp(image, flow) + shift)``.
+
+    The recurrent step only ever consumes the warped previous HR frame
+    through space-to-depth packing (reference main.py:201, Teco.py:143-148);
+    ``scale``/``shift`` fold the deprocess affine ([-1,1] -> [0,1], reference
+    Teco.py:143) into the interpolation epilogue so no extra elementwise pass
+    over the HR image is materialized.
+
+    Note: an earlier variant reordered the gather *indices* into s2d order so
+    the gather output needed no transpose — measured 2.5x SLOWER on TPU than
+    row-major gather + transpose, because XLA's gather throughput depends on
+    index locality. Keep the gather row-major.
+
+    Args:
+      image: (B, H, W, C) with H, W divisible by ``block``.
+      flow: (B, H, W, 2) HR flow.
+
+    Returns:
+      (B, H/block, W/block, block*block*C).
+    """
+    b, h, w, c = image.shape
+    assert h % block == 0 and w % block == 0, (h, w, block)
+    dtype = image.dtype
+    out = dense_image_warp(image, flow)
+    if scale != 1.0 or shift != 0.0:
+        out = out * jnp.asarray(scale, dtype) + jnp.asarray(shift, dtype)
+    hl, wl = h // block, w // block
+    out = out.reshape(b, hl, block, wl, block, c).transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(b, hl, wl, block * block * c)

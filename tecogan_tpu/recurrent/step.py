@@ -25,10 +25,13 @@ import jax.numpy as jnp
 from tecogan_tpu.models.fnet import pad_flow_to
 from tecogan_tpu.ops import (
     dense_image_warp,
+    depth_to_space,
     deprocess,
+    preprocess,
     space_to_depth,
     upscale_bilinear,
 )
+from tecogan_tpu.ops.warp import warp_space_to_depth
 
 
 class RecurrentState(NamedTuple):
@@ -65,8 +68,9 @@ def frame_step(
         {"params": fnet_params}, jnp.concatenate([state.prev_lr, lr_frame], axis=-1)
     )
     flow_hr = upscale_flow(flow_lr, h, w)
-    warped = dense_image_warp(state.prev_hr, flow_hr)
-    packed = space_to_depth(warped, 4)
+    # Fused warp + space-to-depth: the warped HR frame is only ever consumed
+    # packed, so gather directly in s2d order (ops/warp.py).
+    packed = warp_space_to_depth(state.prev_hr, flow_hr, 4)
     gen_out = gen_apply(
         {"params": gen_params}, jnp.concatenate([lr_frame, packed], axis=-1)
     )
@@ -136,11 +140,14 @@ def unroll_generator(
 
     def body(prev_out, xs):
         lr, flow = xs  # (B, h, w, 3), (B, 4h, 4w, 2)
-        warped = dense_image_warp(prev_out, flow)  # [-1,1] domain warp
-        packed = space_to_depth(deprocess(warped), 4)  # pack in [0,1]
+        # Fused warp + deprocess + s2d pack ([-1,1] -> [0,1] folded into the
+        # gather's output affine); warppre for telemetry is recovered by the
+        # exact inverse permutation (dead-code-eliminated when unused).
+        packed = warp_space_to_depth(prev_out, flow, 4, scale=0.5, shift=0.5)
         gen_out = gen_apply(
             {"params": gen_params}, jnp.concatenate([lr, packed], axis=-1)
         )
+        warped = preprocess(depth_to_space(packed, 4))
         return gen_out, (gen_out, warped)
 
     if remat:
