@@ -1,0 +1,233 @@
+// tecodata — native data-loader core for tecogan_tpu.
+//
+// The reference's input pipeline runs on TensorFlow's C++ queue-runner
+// threads (reference lib/dataloader.py:163-165,268-270 — PNG decode, crop
+// and batch assembly all native under the TF graph). This library is the
+// equivalent native substrate for the TPU framework: GIL-free threaded PNG
+// decode (libpng) + crop/flip + float conversion, assembling training
+// batches directly into a caller-provided buffer.
+//
+// Augmentation *decisions* (window choice, movingFirstFrame offsets, flip)
+// stay in Python so the RNG stream is identical to the pure-Python loader;
+// this library executes the plan. C ABI for ctypes.
+//
+// Build: g++ -O3 -fPIC -shared -o libtecodata.so tecodata.cpp -lpng -pthread
+
+#include <png.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ----------------------------------------------------------------- decode
+// Decode an 8-bit PNG to RGB; returns empty on failure.
+struct Image {
+  int h = 0, w = 0;
+  std::vector<uint8_t> rgb;  // h*w*3
+  bool ok() const { return h > 0; }
+};
+
+Image decode_png_rgb(const char* path) {
+  Image img;
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return img;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    fclose(fp);
+    return Image{};
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+
+  png_uint_32 w, h;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
+               nullptr);
+  // Normalize every variant to 8-bit RGB.
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY ||
+      color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  img.h = static_cast<int>(h);
+  img.w = static_cast<int>(w);
+  img.rgb.resize(static_cast<size_t>(h) * w * 3);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; ++y)
+    rows[y] = img.rgb.data() + static_cast<size_t>(y) * w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(fp);
+  return img;
+}
+
+// ------------------------------------------------------------------- pool
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) {
+    for (int i = 0; i < n; ++i)
+      workers_.emplace_back([this] { loop(); });
+  }
+  ~ThreadPool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+  void submit(std::function<void()> fn) {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      q_.push(std::move(fn));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void loop() {
+    for (;;) {
+      std::function<void()> fn;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !q_.empty(); });
+        if (stop_ && q_.empty()) return;
+        fn = std::move(q_.front());
+        q_.pop();
+      }
+      fn();
+    }
+  }
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::queue<std::function<void()>> q_;
+  std::vector<std::thread> workers_;
+  bool stop_ = false;
+};
+
+// One sequence task: decode rnn_n frames (path-deduped), crop tar x tar at
+// per-frame offsets, optional horizontal flip, write normalized float32 RGB.
+struct SeqTask {
+  const char* const* paths;  // rnn_n entries
+  const int32_t* oy;         // rnn_n offsets
+  const int32_t* ox;
+  int rnn_n, tar, flip;
+  float* out;  // rnn_n * tar * tar * 3
+  std::atomic<int>* err;
+};
+
+void run_sequence(const SeqTask& t) {
+  Image cache;
+  std::string cache_path;
+  for (int f = 0; f < t.rnn_n; ++f) {
+    if (cache_path != t.paths[f]) {
+      cache = decode_png_rgb(t.paths[f]);
+      cache_path = t.paths[f];
+    }
+    if (!cache.ok() || t.oy[f] < 0 || t.ox[f] < 0 ||
+        t.oy[f] + t.tar > cache.h || t.ox[f] + t.tar > cache.w) {
+      t.err->fetch_add(1);
+      return;
+    }
+    float* dst = t.out + static_cast<size_t>(f) * t.tar * t.tar * 3;
+    for (int y = 0; y < t.tar; ++y) {
+      const uint8_t* src =
+          cache.rgb.data() +
+          (static_cast<size_t>(t.oy[f] + y) * cache.w + t.ox[f]) * 3;
+      float* row = dst + static_cast<size_t>(y) * t.tar * 3;
+      if (!t.flip) {
+        for (int x = 0; x < t.tar * 3; ++x) row[x] = src[x] / 255.0f;
+      } else {  // mirror columns (reference lib/ops.py:230-235)
+        for (int x = 0; x < t.tar; ++x) {
+          const uint8_t* px = src + (t.tar - 1 - x) * 3;
+          row[x * 3 + 0] = px[0] / 255.0f;
+          row[x * 3 + 1] = px[1] / 255.0f;
+          row[x * 3 + 2] = px[2] / 255.0f;
+        }
+      }
+    }
+  }
+}
+
+struct Loader {
+  explicit Loader(int threads) : pool(threads) {}
+  ThreadPool pool;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* td_open(int num_threads) { return new Loader(num_threads); }
+
+void td_close(void* handle) { delete static_cast<Loader*>(handle); }
+
+// Decode one PNG into caller buffer (float32 RGB [0,1]); returns h<<16|w
+// via out params. Returns 0 on success.
+int td_decode(const char* path, float* out, int* h, int* w, int cap) {
+  Image img = decode_png_rgb(path);
+  if (!img.ok()) return 1;
+  if (img.h * img.w * 3 > cap) return 2;
+  *h = img.h;
+  *w = img.w;
+  const size_t n = static_cast<size_t>(img.h) * img.w * 3;
+  for (size_t i = 0; i < n; ++i) out[i] = img.rgb[i] / 255.0f;
+  return 0;
+}
+
+// Load a full batch of sequences in parallel.
+//   paths: n_seq * rnn_n C strings (frame files; repeats allowed)
+//   oy/ox: n_seq * rnn_n crop offsets; flip: n_seq flags
+//   out:   n_seq * rnn_n * tar * tar * 3 float32
+// Returns number of failed sequences (0 = success).
+int td_load_batch(void* handle, const char* const* paths, const int32_t* oy,
+                  const int32_t* ox, const int32_t* flip, int n_seq,
+                  int rnn_n, int tar, float* out) {
+  Loader* loader = static_cast<Loader*>(handle);
+  std::atomic<int> err{0};
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  for (int s = 0; s < n_seq; ++s) {
+    SeqTask t;
+    t.paths = paths + static_cast<size_t>(s) * rnn_n;
+    t.oy = oy + static_cast<size_t>(s) * rnn_n;
+    t.ox = ox + static_cast<size_t>(s) * rnn_n;
+    t.rnn_n = rnn_n;
+    t.tar = tar;
+    t.flip = flip[s];
+    t.out = out + static_cast<size_t>(s) * rnn_n * tar * tar * 3;
+    t.err = &err;
+    loader->pool.submit([t, &done, &cv, &mu] {
+      run_sequence(t);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        done.fetch_add(1);
+      }
+      cv.notify_one();
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n_seq; });
+  return err.load();
+}
+
+}  // extern "C"

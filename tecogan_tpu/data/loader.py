@@ -26,13 +26,38 @@ from __future__ import annotations
 
 import os
 import queue
+import struct
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
 from tecogan_tpu.config import TecoConfig
+
+
+def png_dims(path: str) -> Tuple[int, int]:
+    """(height, width) from the PNG IHDR without decoding."""
+    with open(path, "rb") as f:
+        head = f.read(24)
+    if head[:8] != b"\x89PNG\r\n\x1a\n" or head[12:16] != b"IHDR":
+        raise ValueError(f"not a PNG: {path}")
+    w, h = struct.unpack(">II", head[16:24])
+    return h, w
+
+
+class SeqPlan(NamedTuple):
+    """A fully-decided sequence load: frame files + per-frame crop + flip.
+
+    Decouples the augmentation *decisions* (RNG) from their *execution* so
+    the python (cv2) and native (libtecodata C++) executors produce
+    bit-identical batches from the same seed.
+    """
+
+    paths: List[str]           # rnn_n entries (repeats for movingFirstFrame)
+    oy: np.ndarray             # (rnn_n,) int32 crop top offsets
+    ox: np.ndarray             # (rnn_n,) int32 crop left offsets
+    flip: bool
 
 
 class SceneDataset:
@@ -63,26 +88,30 @@ class SceneDataset:
             )
         self.windows_per_scene = config.max_frm - config.rnn_n + 1
         self.num_examples = len(self.scenes) * self.windows_per_scene
+        self._dims_cache: dict = {}
 
     def __len__(self):
         return self.num_examples
 
-    # ----------------------------------------------------------- sampling
-    def load_sequence(self, index: int, rng: np.random.RandomState) -> np.ndarray:
-        """Load + augment one window -> (rnn_n, tar, tar, 3) float32 [0,1]."""
-        import cv2
+    # ----------------------------------------------------------- planning
+    def _frame_path(self, scene: str, fi: int) -> str:
+        return os.path.join(scene, f"col_high_{fi:04d}.png")
 
+    def _scene_dims(self, scene: str) -> Tuple[int, int]:
+        dims = self._dims_cache.get(scene)
+        if dims is None:
+            dims = png_dims(self._frame_path(scene, 0))
+            self._dims_cache[scene] = dims
+        return dims
+
+    def plan_sequence(self, index: int, rng: np.random.RandomState) -> SeqPlan:
+        """Decide one window's files/crops/flip; RNG draw order matches the
+        reference augmentation graph (dataloader.py:207-261)."""
         cfg = self.config
         scene = self.scenes[index // self.windows_per_scene]
         start = index % self.windows_per_scene
         tar = cfg.hr_load_size
-
-        def read(fi):
-            p = os.path.join(scene, f"col_high_{fi:04d}.png")
-            im = cv2.imread(p, 3)
-            if im is None:
-                raise FileNotFoundError(p)
-            return im[:, :, ::-1].astype(np.float32) / 255.0
+        h, w = self._scene_dims(scene)
 
         moving = (
             cfg.moving_first_frame
@@ -91,8 +120,6 @@ class SceneDataset:
         if moving:
             # Synthetic camera pan from the static first frame
             # (reference dataloader.py:207-228).
-            frame0 = read(start)
-            h, w = frame0.shape[:2]
             offsets = np.floor(rng.uniform(-3.5, 4.5, size=(cfg.rnn_n, 2))).astype(
                 np.int64
             )
@@ -109,27 +136,45 @@ class SceneDataset:
                 )
             oh = int(rng.uniform(0, max_oh))
             ow = int(rng.uniform(0, max_ow))
-            seq = np.stack(
-                [
-                    frame0[
-                        oh + lefttop[fi, 1] : oh + lefttop[fi, 1] + tar,
-                        ow + lefttop[fi, 0] : ow + lefttop[fi, 0] + tar,
-                    ]
-                    for fi in range(cfg.rnn_n)
-                ]
-            )
+            paths = [self._frame_path(scene, start)] * cfg.rnn_n
+            oy = (oh + lefttop[:, 1]).astype(np.int32)
+            ox = (ow + lefttop[:, 0]).astype(np.int32)
         else:
-            frames = [read(start + fi) for fi in range(cfg.rnn_n)]
-            h, w = frames[0].shape[:2]
             if h < tar or w < tar:
                 raise ValueError(f"Scene {scene} smaller than crop {tar}")
             oh = int(rng.uniform(0, h - tar)) if cfg.random_crop else 0
             ow = int(rng.uniform(0, w - tar)) if cfg.random_crop else 0
-            seq = np.stack([f[oh : oh + tar, ow : ow + tar] for f in frames])
+            paths = [self._frame_path(scene, start + fi) for fi in range(cfg.rnn_n)]
+            oy = np.full(cfg.rnn_n, oh, np.int32)
+            ox = np.full(cfg.rnn_n, ow, np.int32)
 
-        if cfg.flip and rng.rand() < 0.5:  # reference ops.py:230-235
+        flip = bool(cfg.flip and rng.rand() < 0.5)  # reference ops.py:230-235
+        return SeqPlan(paths=paths, oy=oy, ox=ox, flip=flip)
+
+    # ----------------------------------------------------------- sampling
+    def load_plan(self, plan: SeqPlan) -> np.ndarray:
+        """Execute a plan with cv2 -> (rnn_n, tar, tar, 3) float32 [0,1]."""
+        import cv2
+
+        tar = self.config.hr_load_size
+        frames = []
+        cache_path, cache_img = None, None
+        for p, oy, ox in zip(plan.paths, plan.oy, plan.ox):
+            if p != cache_path:
+                im = cv2.imread(p, 3)
+                if im is None:
+                    raise FileNotFoundError(p)
+                cache_img = im[:, :, ::-1].astype(np.float32) / 255.0
+                cache_path = p
+            frames.append(cache_img[oy : oy + tar, ox : ox + tar])
+        seq = np.stack(frames)
+        if plan.flip:
             seq = seq[:, :, ::-1]
         return np.ascontiguousarray(seq)
+
+    def load_sequence(self, index: int, rng: np.random.RandomState) -> np.ndarray:
+        """Load + augment one window -> (rnn_n, tar, tar, 3) float32 [0,1]."""
+        return self.load_plan(self.plan_sequence(index, rng))
 
 
 class BatchLoader:
@@ -142,6 +187,7 @@ class BatchLoader:
         seed: Optional[int] = None,
         num_threads: Optional[int] = None,
         prefetch: Optional[int] = None,
+        executor: str = "python",
     ):
         cfg = dataset.config
         self.dataset = dataset
@@ -149,6 +195,17 @@ class BatchLoader:
         self.seed = cfg.rand_seed if seed is None else seed
         self.num_threads = num_threads or max(1, cfg.queue_thread)
         self.prefetch = prefetch or cfg.prefetch_depth
+        if executor not in ("python", "native"):
+            raise ValueError(f"executor must be python|native, got {executor}")
+        self._native = None
+        if executor == "native":
+            from tecogan_tpu.data.native_loader import NativeExecutor
+
+            self._native = NativeExecutor(
+                num_threads=self.num_threads,
+                rnn_n=cfg.rnn_n,
+                tar=cfg.hr_load_size,
+            )
         self._queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=self.prefetch)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -170,13 +227,20 @@ class BatchLoader:
                     idxs.append(int(perm[cursor]))
                     cursor += 1
                 seeds = rng.randint(0, 2**31 - 1, size=len(idxs))
-                futures = [
-                    pool.submit(
-                        self.dataset.load_sequence, i, np.random.RandomState(s)
-                    )
-                    for i, s in zip(idxs, seeds)
-                ]
-                batch = np.stack([f.result() for f in futures])
+                if self._native is not None:
+                    plans = [
+                        self.dataset.plan_sequence(i, np.random.RandomState(s))
+                        for i, s in zip(idxs, seeds)
+                    ]
+                    batch = self._native.load(plans)
+                else:
+                    futures = [
+                        pool.submit(
+                            self.dataset.load_sequence, i, np.random.RandomState(s)
+                        )
+                        for i, s in zip(idxs, seeds)
+                    ]
+                    batch = np.stack([f.result() for f in futures])
                 while not self._stop.is_set():
                     try:
                         self._queue.put(batch, timeout=0.5)

@@ -1,0 +1,143 @@
+"""ctypes bindings for the native data-loader core (native/tecodata.cpp).
+
+The C++ library plays the role TensorFlow's C++ queue runners play in the
+reference input pipeline (reference lib/dataloader.py:163-165,268-270):
+GIL-free threaded PNG decode, crop/flip, float conversion and batch assembly.
+Augmentation decisions come from Python as :class:`SeqPlan`s, so a native
+batch is bit-identical to the python executor's for the same seed
+(tests/test_native_loader.py asserts this).
+
+The shared library is built on demand from source with the system toolchain
+(g++ + libpng); if the build fails, callers should fall back to the python
+executor (``BatchLoader(executor="python")``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libtecodata.so"))
+_BUILD_LOCK = threading.Lock()
+_LIB = None
+
+
+def build_library(force: bool = False) -> str:
+    """Compile native/tecodata.cpp -> libtecodata.so (idempotent)."""
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "tecodata.cpp"))
+    with _BUILD_LOCK:
+        if force or not os.path.exists(_SO_PATH) or (
+            os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-std=c++17", "-shared",
+                 "-o", _SO_PATH, src, "-lpng", "-pthread"],
+                check=True, capture_output=True,
+            )
+    return _SO_PATH
+
+
+def load_library() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(build_library())
+        lib.td_open.restype = ctypes.c_void_p
+        lib.td_open.argtypes = [ctypes.c_int]
+        lib.td_close.argtypes = [ctypes.c_void_p]
+        lib.td_decode.restype = ctypes.c_int
+        lib.td_decode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.td_load_batch.restype = ctypes.c_int
+        lib.td_load_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    try:
+        load_library()
+        return True
+    except Exception:
+        return False
+
+
+def decode_png(path: str, max_pixels: int = 64 << 20) -> np.ndarray:
+    """Decode one PNG via the native core -> (H, W, 3) float32 [0,1]."""
+    lib = load_library()
+    buf = np.empty(max_pixels * 3, np.float32)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.td_decode(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(h), ctypes.byref(w), buf.size,
+    )
+    if rc != 0:
+        raise IOError(f"td_decode failed ({rc}) for {path}")
+    return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+class NativeExecutor:
+    """Executes batches of SeqPlans through the C++ thread pool."""
+
+    def __init__(self, num_threads: int, rnn_n: int, tar: int):
+        self._lib = load_library()
+        self._handle = ctypes.c_void_p(self._lib.td_open(num_threads))
+        self.rnn_n = rnn_n
+        self.tar = tar
+
+    def load(self, plans: Sequence) -> np.ndarray:
+        """-> (len(plans), rnn_n, tar, tar, 3) float32 [0,1]."""
+        n = len(plans)
+        rnn_n, tar = self.rnn_n, self.tar
+        paths = (ctypes.c_char_p * (n * rnn_n))()
+        oy = np.empty(n * rnn_n, np.int32)
+        ox = np.empty(n * rnn_n, np.int32)
+        flip = np.empty(n, np.int32)
+        # Keep encoded bytes alive for the duration of the call.
+        keepalive: List[bytes] = []
+        for s, plan in enumerate(plans):
+            assert len(plan.paths) == rnn_n, (len(plan.paths), rnn_n)
+            for f in range(rnn_n):
+                b = plan.paths[f].encode()
+                keepalive.append(b)
+                paths[s * rnn_n + f] = b
+            oy[s * rnn_n : (s + 1) * rnn_n] = plan.oy
+            ox[s * rnn_n : (s + 1) * rnn_n] = plan.ox
+            flip[s] = int(plan.flip)
+        out = np.empty((n, rnn_n, tar, tar, 3), np.float32)
+        rc = self._lib.td_load_batch(
+            self._handle, paths,
+            oy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ox.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            flip.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, rnn_n, tar,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise IOError(f"native batch load failed for {rc} sequence(s)")
+        return out
+
+    def close(self):
+        if self._handle:
+            self._lib.td_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
