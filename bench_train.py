@@ -1,0 +1,67 @@
+"""Training-throughput benchmark (not driver-run; see bench.py for the
+headline metric).
+
+Measures steady-state train-step time at the reference's canonical
+configuration (batch 4, crop 32, RNN_N 10 — reference runGan.py:147-163) for
+both FRVSR (case 4) and TecoGAN-without-VGG (case 3 minus the VGG term,
+whose pretrained weights are not distributable here). Reports
+images/sec * frame_len like the reference console (main.py:404-411).
+
+Usage: python bench_train.py [frvsr|tecogan]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tecogan_tpu.config import TecoConfig
+    from tecogan_tpu.train.trainer import Trainer
+    from tecogan_tpu.utils.profiling import device_time
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "frvsr"
+    cfg = TecoConfig(
+        num_resblock=10 if mode == "frvsr" else 16,
+        batch_size=4, crop_size=32, rnn_n=10,
+        learning_rate=5e-5,
+        ratio=-0.01 if mode == "frvsr" else 0.01,
+        pingpong=mode != "frvsr",
+        vgg_scaling=-0.002,  # VGG weights not distributable; term disabled
+        compute_dtype="bfloat16",
+    )
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    tar = cfg.hr_load_size
+    batch = jnp.asarray(
+        np.random.RandomState(0).rand(cfg.batch_size, cfg.rnn_n, tar, tar, 3),
+        jnp.float32,
+    )
+
+    holder = {"state": state}
+
+    def step(b):
+        holder["state"], metrics = trainer.train_step(holder["state"], b)
+        return metrics["All_loss_Gen"]
+
+    secs = device_time(step, batch, iters=10, warmup=3)
+    ips = cfg.batch_size * cfg.unroll_frames / secs
+    print(json.dumps({
+        "metric": f"train_step_{mode}",
+        "value": round(ips, 1),
+        "unit": "images/sec*frames",
+        "step_ms": round(secs * 1e3, 1),
+        "config": f"b{cfg.batch_size} crop{cfg.crop_size} rnn{cfg.rnn_n} "
+                  f"res{cfg.num_resblock} pingpong={cfg.pingpong}",
+    }))
+
+
+if __name__ == "__main__":
+    main()

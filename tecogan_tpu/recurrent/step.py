@@ -80,8 +80,13 @@ def frame_step(
 
 def extend_pingpong(seq: jnp.ndarray) -> jnp.ndarray:
     """(B, T, ...) -> (B, 2T-1, ...): forward then reversed-without-last
-    (reference Teco.py:80-85)."""
-    return jnp.concatenate([seq, seq[:, -2::-1]], axis=1)
+    (reference Teco.py:80-85).
+
+    Reversal via ``jnp.flip`` rather than a negative-step slice: negative
+    strides crash this TPU toolchain's compiler for batch > 1 (SIGABRT in
+    the Mosaic/XLA helper); flip lowers to ``lax.rev`` which is fine.
+    """
+    return jnp.concatenate([seq, jnp.flip(seq, axis=1)[:, 1:]], axis=1)
 
 
 def flows_for_sequence(

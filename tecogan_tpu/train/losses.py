@@ -46,7 +46,8 @@ def pingpong_loss(gen_outputs: jnp.ndarray, rnn_n: int) -> jnp.ndarray:
     """L1 between the forward half and the reversed backward half of the
     ping-pong unroll (reference Teco.py:362-372)."""
     first = gen_outputs[:, 0 : rnn_n - 1]
-    last_rev = gen_outputs[:, -1 : -rnn_n : -1]
+    # flip, not a negative-step slice (TPU compiler SIGABRT at batch > 1).
+    last_rev = jnp.flip(gen_outputs[:, -(rnn_n - 1) :], axis=1)
     return jnp.mean(jnp.abs(first - last_rev))
 
 
@@ -138,7 +139,14 @@ def assemble_dst_inputs(
             "Without ping-pong, backward flows must be passed explicitly "
             "(reference Teco.py:190-203)"
         )
-        v_nxt = flow_hr[:, -2 : -1 - t_size : -3]
+        # Backward flows reused from the ping-pong half: every 3rd flow
+        # counting back from the second-to-last (reference Teco.py:206-209).
+        # Expressed as an ascending strided slice + flip — negative-step
+        # slices crash this TPU toolchain's compiler at batch > 1.
+        t_flows = flow_hr.shape[1]
+        n_trip = t_size // 3
+        start = t_flows - 2 - 3 * (n_trip - 1)  # ascending first index
+        v_nxt = jnp.flip(flow_hr[:, start : t_flows - 1 : 3], axis=1)
     t_vel = jnp.stack([v_pre, v_mid, v_nxt], axis=2)
     t_vel = t_vel.reshape(b * t_size, hr_h, hr_w, 2)
     t_vel = jax.lax.stop_gradient(t_vel)  # no D gradient into fnet (Teco.py:214)
