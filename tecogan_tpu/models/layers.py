@@ -105,3 +105,29 @@ class SlimBatchNorm(nn.Module):
             dtype=self.dtype,
             name="bn",
         )(x)
+
+
+def prelu(x, alpha):
+    """Parametric ReLU given a learned per-channel alpha
+    (reference lib/ops.py prelu_tf; defined for parity, unused in the main
+    TecoGAN path just as in the reference)."""
+    pos = jnp.maximum(x, 0.0)
+    neg = alpha * jnp.minimum(x, 0.0)
+    return pos + neg
+
+
+def pixel_shuffler(x, scale: int = 2):
+    """Sub-pixel upscale (reference lib/ops.py pixelShuffler/phaseShift;
+    defined for parity, unused in the main path). Channel order matches the
+    reference's split-then-phaseShift construction."""
+    b, h, w, c = x.shape
+    co = c // (scale * scale)
+    parts = [x[..., i * (scale * scale):(i + 1) * (scale * scale)]
+             for i in range(co)]
+
+    def phase_shift(p):
+        p = p.reshape(b, h, w, scale, scale)
+        p = p.transpose(0, 1, 3, 2, 4)
+        return p.reshape(b, h * scale, w * scale, 1)
+
+    return jnp.concatenate([phase_shift(p) for p in parts], axis=-1)

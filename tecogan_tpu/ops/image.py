@@ -73,3 +73,15 @@ def list_png_in_dir(dirpath: str, prefix_skip: str = "IB"):
     files = sorted(files)
     files.sort(key=lambda f: int("".join(filter(str.isdigit, f)) or -1))
     return [os.path.join(dirpath, f) for f in files]
+
+
+def compute_psnr(ref, target):
+    """In-graph PSNR over [0, 1] images (reference lib/ops.py:259-269)."""
+    import jax.numpy as jnp
+
+    ref = ref.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    diff = target - ref
+    sqr = jnp.mean(diff**2)
+    v = jnp.where(sqr > 0, -10.0 * jnp.log(sqr) / jnp.log(10.0), jnp.inf)
+    return v

@@ -144,6 +144,49 @@ class StreamingSR:
         hrs = np.concatenate(outs, axis=0)
         return hrs[warmup:], elapsed
 
+    def run_streams(
+        self,
+        frames: np.ndarray,
+        warmup: int = 0,
+        chunk: Optional[int] = None,
+    ) -> Tuple[np.ndarray, float]:
+        """Super-resolve B independent streams concurrently.
+
+        Multi-stream serving is where the TPU's MXU utilization scales:
+        batch>1 amortizes per-op overhead across streams (no reference
+        analog — the reference is strictly single-stream, main.py:180-270).
+
+        Args:
+          frames: (B, T, h, w, 3) float32 LR streams in [0, 1].
+
+        Returns:
+          ((B, T - warmup, 4h, 4w, 3) HR streams, wall seconds).
+        """
+        chunk = chunk or self.config.infer_chunk
+        bsz, t, h, w, _ = frames.shape
+        if self._chunk_fn is None:
+            self._chunk_fn = self._build_chunk_fn()
+        state = init_state(bsz, h, w, self.dtype)
+        t0 = time.perf_counter()
+        pending = []
+        for s in range(0, t, chunk):
+            piece = frames[:, s : s + chunk]
+            n = piece.shape[1]
+            if n < chunk:
+                piece = np.concatenate(
+                    [piece, np.repeat(piece[:, -1:], chunk - n, axis=1)], axis=1
+                )
+            lr = jnp.asarray(piece.transpose(1, 0, 2, 3, 4), self.dtype)
+            state, hr = self._chunk_fn(self.gen_params, self.fnet_params, state, lr)
+            pending.append((hr, n))
+        outs = [
+            np.asarray(jax.device_get(hr))[:n].transpose(1, 0, 2, 3, 4)
+            for hr, n in pending
+        ]
+        elapsed = time.perf_counter() - t0
+        hrs = np.concatenate(outs, axis=1)
+        return hrs[:, warmup:], elapsed
+
     # -------------------------------------------------------------- bench
     def device_fps(self, frames: np.ndarray, reps: int = 5) -> float:
         """Sustained device throughput (frames/sec) of the streaming step.

@@ -274,3 +274,36 @@ def test_warp_space_to_depth_fusion_exact(rng):
         dense_image_warp(jnp.asarray(image), jnp.asarray(flow)) * 0.5 + 0.5, 4))
     np.testing.assert_allclose(fused, unfused, rtol=1e-6, atol=1e-7)
     assert fused.shape == (2, 4, 6, 48)
+
+
+def test_blocked_warp_matches_oracle(rng, monkeypatch):
+    """Row-blocked gather path (large-frame mode) == the 4-gather oracle,
+    values and gradients, including flows that exceed the bound (clamped
+    sample rows stay inside the slab's halo)."""
+    import jax
+
+    import tecogan_tpu.ops.warp as W
+
+    monkeypatch.setattr(W, "_BLOCK_THRESHOLD_PIXELS", 100)
+    image = rng.rand(2, 64, 48, 3).astype(np.float32)
+    flow = (rng.rand(2, 64, 48, 2) * 10 - 5).astype(np.float32)
+
+    blocked = W.dense_image_warp(
+        jnp.asarray(image), jnp.asarray(flow), max_displacement=5.0,
+        row_block=16)
+    oracle = W.dense_image_warp_reference(jnp.asarray(image), jnp.asarray(flow))
+    # fp contraction (fma) may differ between the two lowerings
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(oracle),
+                               rtol=1e-6, atol=1e-6)
+
+    gi_a, gf_a = jax.grad(
+        lambda im, fl: jnp.sum(W.dense_image_warp(
+            im, fl, max_displacement=5.0, row_block=16) ** 2),
+        argnums=(0, 1))(jnp.asarray(image), jnp.asarray(flow))
+    gi_b, gf_b = jax.grad(
+        lambda im, fl: jnp.sum(W.dense_image_warp_reference(im, fl) ** 2),
+        argnums=(0, 1))(jnp.asarray(image), jnp.asarray(flow))
+    np.testing.assert_allclose(np.asarray(gi_a), np.asarray(gi_b),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf_a), np.asarray(gf_b),
+                               rtol=1e-5, atol=1e-5)

@@ -94,3 +94,26 @@ def test_streaming_sr_shapes_and_chunking(rng):
     # Chunk boundaries must not change results vs one big chunk.
     out_big, _ = sr.run(frames, warmup=2, chunk=7)
     np.testing.assert_allclose(out, out_big, rtol=1e-4, atol=1e-5)
+
+
+def test_run_streams_matches_single(rng):
+    """B concurrent streams == B independent single-stream runs."""
+    from tecogan_tpu.config import TecoConfig
+    from tecogan_tpu.models import FNet, Generator
+    from tecogan_tpu.recurrent.inference import StreamingSR
+    import jax
+
+    cfg = TecoConfig(num_resblock=2, compute_dtype="float32", infer_chunk=4)
+    gen = Generator(num_resblock=2, channels=cfg.gen_channels)
+    fnet = FNet(channels=cfg.fnet_channels, up_channels=cfg.fnet_up_channels,
+                max_velocity=cfg.flow_max_velocity)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    gp = gen.init(k1, jnp.zeros((1, 16, 16, 51)))["params"]
+    fp = fnet.init(k2, jnp.zeros((1, 16, 16, 6)))["params"]
+    sr = StreamingSR(cfg, gp, fp, output="float32")
+
+    streams = rng.rand(3, 6, 16, 16, 3).astype(np.float32)
+    multi, _ = sr.run_streams(streams, warmup=1)
+    for b in range(3):
+        single, _ = sr.run(streams[b], warmup=1)
+        np.testing.assert_allclose(multi[b], single, rtol=2e-5, atol=2e-5)
