@@ -84,23 +84,36 @@ _BLOCK_THRESHOLD_PIXELS = 2_000_000
 _DEFAULT_MAX_DISPLACEMENT = 96.0  # 4 * flow_max_velocity (frvsr.py:39-40)
 
 
+def _snap_block(size: int, target: int) -> int:
+    """Largest-near-target divisor of ``size`` (for uniform blocking)."""
+    n_target = max(1, round(size / target))
+    for dn in sorted(range(-n_target + 1, n_target + 8), key=abs):
+        n = n_target + dn
+        if n >= 1 and size % n == 0:
+            return size // n
+    return size
+
+
 def dense_image_warp(
     image: jnp.ndarray,
     flow: jnp.ndarray,
     max_displacement: float = _DEFAULT_MAX_DISPLACEMENT,
-    row_block: int = 256,
+    row_block: int = 240,
+    col_block: int = 512,
 ) -> jnp.ndarray:
     """Backward-warp ``image`` by ``flow`` ((dy, dx) channel order).
 
     Args:
       image: (B, H, W, C).
       flow: (B, H, W, 2); the sampled location is ``grid - flow``.
-      max_displacement: bound on |flow| used to size the row-blocked gather
+      max_displacement: bound on |flow| used to size the blocked gather
         slabs on large frames. The recurrent pipeline's flows are tanh-
         bounded to 24 LR px = 96 HR px (reference frvsr.py:39-40); flows
         beyond the bound are clamped by the blocked path, so pass a larger
         bound (or ``None`` to disable blocking) for unconstrained flows.
-      row_block: rows per gather block on the blocked path.
+      row_block / col_block: target 2D gather tile on the blocked path
+        (snapped to divisors of H/W; measured sweet spot ~240x384-768 on
+        v5e, 7.5x over the unblocked gather at 2160p).
 
     Returns:
       (B, H, W, C) warped image, dtype of ``image``.
@@ -110,48 +123,48 @@ def dense_image_warp(
     iy, ix, ay, ax = _corner_coords(image.shape, flow, dtype)
     packed = _tap_pack(image)
 
+    halo = int(max_displacement) + 1 if max_displacement is not None else 0
     if max_displacement is not None and h * w > _BLOCK_THRESHOLD_PIXELS:
-        # Snap row_block to a divisor of h near the requested size.
-        n_target = max(1, round(h / row_block))
-        for dn in sorted(range(-n_target + 1, n_target + 8), key=abs):
-            n = n_target + dn
-            if n >= 1 and h % n == 0:
-                row_block = h // n
-                break
+        row_block = _snap_block(h, row_block)
+        col_block = _snap_block(w, col_block)
     use_blocks = (
         max_displacement is not None
         and h * w > _BLOCK_THRESHOLD_PIXELS
-        and h % row_block == 0
-        and h > 2 * (int(max_displacement) + 1) + row_block
+        and h > 2 * halo + row_block
+        and w > 2 * halo + col_block
     )
     if not use_blocks:
         base = (iy * w + ix).reshape(b, h * w, 1)
         g = jnp.take_along_axis(packed.reshape(b, h * w, 4 * c), base, axis=1)
         return _lerp(g.reshape(b, h, w, 4, c), ay, ax)
 
-    halo = int(max_displacement) + 1
-    slab_rows = row_block + 2 * halo
-    nblk = h // row_block
+    sr, sc = row_block + 2 * halo, col_block + 2 * halo
+    nr, nc = h // row_block, w // col_block
 
     def do_block(k):
-        r0 = k * row_block
-        s0 = jnp.clip(r0 - halo, 0, h - slab_rows)
-        slab = jax.lax.dynamic_slice(
-            packed, (0, s0, 0, 0), (b, slab_rows, w, 4 * c)
+        r0 = (k // nc) * row_block
+        c0 = (k % nc) * col_block
+        s0 = jnp.clip(r0 - halo, 0, h - sr)
+        q0 = jnp.clip(c0 - halo, 0, w - sc)
+        slab = jax.lax.dynamic_slice(packed, (0, s0, q0, 0), (b, sr, sc, 4 * c))
+        iy_b = jnp.clip(
+            jax.lax.dynamic_slice(iy, (0, r0, c0), (b, row_block, col_block)) - s0,
+            0, sr - 1,
         )
-        iy_b = jax.lax.dynamic_slice(iy, (0, r0, 0), (b, row_block, w))
-        iy_b = jnp.clip(iy_b - s0, 0, slab_rows - 1)
-        ix_b = jax.lax.dynamic_slice(ix, (0, r0, 0), (b, row_block, w))
-        ay_b = jax.lax.dynamic_slice(ay, (0, r0, 0, 0), (b, row_block, w, 1))
-        ax_b = jax.lax.dynamic_slice(ax, (0, r0, 0, 0), (b, row_block, w, 1))
-        base = (iy_b * w + ix_b).reshape(b, row_block * w, 1)
-        g = jnp.take_along_axis(
-            slab.reshape(b, slab_rows * w, 4 * c), base, axis=1
+        ix_b = jnp.clip(
+            jax.lax.dynamic_slice(ix, (0, r0, c0), (b, row_block, col_block)) - q0,
+            0, sc - 1,
         )
-        return _lerp(g.reshape(b, row_block, w, 4, c), ay_b, ax_b)
+        ay_b = jax.lax.dynamic_slice(ay, (0, r0, c0, 0), (b, row_block, col_block, 1))
+        ax_b = jax.lax.dynamic_slice(ax, (0, r0, c0, 0), (b, row_block, col_block, 1))
+        base = (iy_b * sc + ix_b).reshape(b, row_block * col_block, 1)
+        g = jnp.take_along_axis(slab.reshape(b, sr * sc, 4 * c), base, axis=1)
+        return _lerp(g.reshape(b, row_block, col_block, 4, c), ay_b, ax_b)
 
-    outs = jax.lax.map(do_block, jnp.arange(nblk))
-    return outs.transpose(1, 0, 2, 3, 4).reshape(b, h, w, c)
+    outs = jax.lax.map(do_block, jnp.arange(nr * nc))
+    outs = outs.reshape(nr, nc, b, row_block, col_block, c)
+    outs = outs.transpose(2, 0, 3, 1, 4, 5)
+    return outs.reshape(b, h, w, c)
 
 
 def dense_image_warp_reference(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:

@@ -290,7 +290,7 @@ def test_blocked_warp_matches_oracle(rng, monkeypatch):
 
     blocked = W.dense_image_warp(
         jnp.asarray(image), jnp.asarray(flow), max_displacement=5.0,
-        row_block=16)
+        row_block=16, col_block=16)
     oracle = W.dense_image_warp_reference(jnp.asarray(image), jnp.asarray(flow))
     # fp contraction (fma) may differ between the two lowerings
     np.testing.assert_allclose(np.asarray(blocked), np.asarray(oracle),
@@ -298,7 +298,7 @@ def test_blocked_warp_matches_oracle(rng, monkeypatch):
 
     gi_a, gf_a = jax.grad(
         lambda im, fl: jnp.sum(W.dense_image_warp(
-            im, fl, max_displacement=5.0, row_block=16) ** 2),
+            im, fl, max_displacement=5.0, row_block=16, col_block=16) ** 2),
         argnums=(0, 1))(jnp.asarray(image), jnp.asarray(flow))
     gi_b, gf_b = jax.grad(
         lambda im, fl: jnp.sum(W.dense_image_warp_reference(im, fl) ** 2),
