@@ -1,0 +1,254 @@
+"""Pallas TPU kernel: the generator's residual-block chain, fused.
+
+The FRVSR generator's trunk is 16 residual blocks = 32 sequential 3x3 convs
+at 64 channels (reference frvsr.py:59-73). This kernel executes the entire
+chain as ONE Pallas launch with the activation resident in VMEM, each conv
+realized as 9 shifted-tap MXU matmuls.
+
+**Measured outcome (v5e, 144x180x64 bf16, honest benchmark with carried
+dependencies): the fused kernel runs at ~3.3 ms vs XLA's ~2.4-2.8 ms for
+the same chain.** The tap matmuls are (M, 64) @ (64, 64): K=N=64 uses at
+most 25% of the 128x128 MXU (~21 TF/s achieved), while XLA's conv lowering
+reaches ~33 TF/s via its internal im2col (K=576). Fusing the chain removes
+per-op overhead (~10-30 us/op) but that saving is smaller than the MXU
+utilization gap. The kernel is therefore NOT wired into the default model
+path — `resblock_chain` dispatches to it only when explicitly requested;
+it is kept as validated infrastructure for a future pair-packed
+(two-pixels-per-MXU-row, block-diagonal weights) variant that would lift
+tap matmuls to 50% utilization. XLA remains the production path.
+
+Layout: the (H, W, C) activation is stored flat as (P*S, C) where S = W+4
+is the row stride (8-aligned; two zero columns each side) and P = H+6
+(3 zero rows top and bottom). Dynamic loads happen only at 8-aligned
+sublane offsets (a Mosaic requirement); each tile loads one wide aligned
+window and derives all nine conv taps from *static* value slices, so SAME
+zero-padding falls out of the zero borders. An iota-computed mask re-zeros
+the borders after every block.
+
+Grid step r applies residual block r, ping-ponging between the output
+buffer (aliased with the input) and one scratch buffer. Within a step,
+output row-tiles compute conv1 on a 1-row + 1-column halo so conv2 consumes
+y entirely from registers — no intermediate activation buffer.
+
+Numerics: taps accumulate via f32 MXU matmuls; the bf16 round happens once
+per conv output, matching XLA's conv (bf16 in, f32 accumulate, bf16 out) up
+to tap summation order. Backward: ``jax.custom_vjp`` replays the XLA
+reference (`resblock_chain_xla`) — training runs at batch >= 4 where XLA
+convs are efficient; the fused forward targets streaming inference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PAD_ROWS = 3  # zero rows above/below the image (covers conv1+conv2 halos)
+
+#: Experimental: route resblock_chain through the Pallas kernel. Off by
+#: default — XLA's conv lowering is faster on v5e (see module docstring).
+USE_PALLAS_CHAIN = False
+
+
+# --------------------------------------------------------------- reference
+def resblock_chain_xla(x, w1, b1, w2, b2):
+    """XLA oracle: x (B,H,W,C); w1/w2 (N,3,3,C,C); b1/b2 (N,C).
+
+    Per block: ``x = x + (conv(relu(conv(x, w1) + b1), w2) + b2)``
+    (reference frvsr.py:49-56 residual_block with biased slim convs).
+    """
+    n = w1.shape[0]
+    for i in range(n):
+        y = jax.lax.conv_general_dilated(
+            x, w1[i], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = jax.nn.relu(y + b1[i])
+        z = jax.lax.conv_general_dilated(
+            y, w2[i], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = x + z + b2[i]
+    return x
+
+
+# ----------------------------------------------------------------- kernel
+def _chain_kernel(w1_ref, b1_ref, w2_ref, b2_ref, x_ref, o_ref, buf_ref, *,
+                  h: int, w: int, c: int, tile_rows: int, n_res: int):
+    """One grid step = one residual block (x_ref is aliased with o_ref)."""
+    del x_ref  # aliased with o_ref; o_ref is both chain input and output
+    r = pl.program_id(0)
+    s = w + 4                          # 8-aligned row stride
+    assert s % 8 == 0, s
+    first = _PAD_ROWS * s              # flat offset of image row 0
+    n_tiles = h // tile_rows
+    t_m = tile_rows * s                # flat elements per output tile
+    y_len = t_m + 2 * s + 2            # conv2 consumes y at offsets 0..2s+2
+    v_len = t_m + 4 * s + 16           # aligned window covering all taps
+    total = (h + 2 * _PAD_ROWS) * s
+
+    def mask_for(q0, n_rows, dtype):
+        q = q0 + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+        col = q % s
+        row = q // s
+        ok = ((col >= 2) & (col < w + 2)
+              & (row >= _PAD_ROWS) & (row < _PAD_ROWS + h))
+        return ok.astype(dtype)
+
+    def body(src, dst):
+        w1k = w1_ref[0]                      # (9, C, C)
+        w2k = w2_ref[0]
+        b1k = b1_ref[0].astype(jnp.float32)  # (1, C)
+        b2k = b2_ref[0].astype(jnp.float32)
+
+        def tile_step(i, _):
+            q_out = first + i * t_m
+            q_y = q_out - s - 1              # y block origin
+            # One aligned dynamic load; all taps are static value slices.
+            v0 = q_out - 2 * s - 8           # aligned window origin
+            win = src[pl.ds(v0, v_len), :]
+            # conv1 (+bias, relu) over the haloed y block.
+            acc = None
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    off = s + 7 + dy * s + dx  # (q_y + dy*s + dx) - v0
+                    tap = win[off : off + y_len, :]
+                    t = (dy + 1) * 3 + (dx + 1)
+                    p = jnp.dot(tap, w1k[t],
+                                preferred_element_type=jnp.float32)
+                    acc = p if acc is None else acc + p
+            y = jnp.maximum(acc + b1k, 0.0) * mask_for(q_y, y_len, jnp.float32)
+            y = y.astype(src.dtype)
+            # conv2 from registers: out tap (dy, dx) = y[(dy+1)*s + (dx+1) ...].
+            acc2 = None
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    off = (dy + 1) * s + (dx + 1)
+                    tap = y[off : off + t_m, :]
+                    t = (dy + 1) * 3 + (dx + 1)
+                    p = jnp.dot(tap, w2k[t],
+                                preferred_element_type=jnp.float32)
+                    acc2 = p if acc2 is None else acc2 + p
+            skip = win[2 * s + 8 : 2 * s + 8 + t_m, :].astype(jnp.float32)
+            out = (skip + acc2 + b2k) * mask_for(q_out, t_m, jnp.float32)
+            dst[pl.ds(q_out, t_m), :] = out.astype(dst.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, tile_step, 0)
+        # Keep zero borders in dst.
+        dst[pl.ds(0, first), :] = jnp.zeros((first, c), dst.dtype)
+        tail = first + h * s
+        dst[pl.ds(tail, total - tail), :] = jnp.zeros(
+            (total - tail, c), dst.dtype)
+
+    # Ping-pong: block r reads A if r even else B, writes the other;
+    # A = o_ref (aliased input). After the last block the result must be in
+    # o_ref; when n_res is odd the final write lands in buf and is copied.
+    even = r % 2 == 0
+
+    @pl.when(even)
+    def _():
+        body(o_ref, buf_ref)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        body(buf_ref, o_ref)
+
+    if n_res % 2 == 1:
+        @pl.when(r == n_res - 1)
+        def _():
+            o_ref[:, :] = buf_ref[:, :]
+
+
+def _pick_tile(h: int) -> int:
+    for t in (16, 12, 8, 6, 4, 3, 2, 1):
+        if h % t == 0:
+            return t
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def _fused_chain_single(x, w1t, b1r, w2t, b2r, tile_rows: int):
+    """x: (H, W, C) -> (H, W, C); weights pre-reshaped to taps (N,9,C,C).
+
+    Requires (W + 4) % 8 == 0 (aligned row stride); callers fall back to XLA
+    otherwise.
+    """
+    h, w, c = x.shape
+    n_res = w1t.shape[0]
+    s = w + 4
+    flat = jnp.pad(x, ((_PAD_ROWS, _PAD_ROWS), (2, 2), (0, 0)))
+    m = (h + 2 * _PAD_ROWS) * s
+    flat = flat.reshape(m, c)
+
+    kernel = functools.partial(
+        _chain_kernel, h=h, w=w, c=c, tile_rows=tile_rows, n_res=n_res)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_res,),
+        in_specs=[
+            pl.BlockSpec((1, 9, c, c), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, c, c), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, c), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, c), lambda r: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m, c), x.dtype)],
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(w1t, b1r, w2t, b2r, flat)
+    return out.reshape(h + 2 * _PAD_ROWS, s, c)[
+        _PAD_ROWS : _PAD_ROWS + h, 2 : 2 + w, :]
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@jax.custom_vjp
+def resblock_chain(x, w1, b1, w2, b2):
+    """Fused residual-block chain over (B, H, W, C); Pallas forward on TPU,
+    XLA elsewhere; XLA-replay backward."""
+    return _resblock_chain_fwd(x, w1, b1, w2, b2)[0]
+
+
+def _taps(w1, b1, w2, b2):
+    n, _, _, c, _ = w1.shape
+    return (w1.reshape(n, 9, c, c), b1.reshape(n, 1, c),
+            w2.reshape(n, 9, c, c), b2.reshape(n, 1, c))
+
+
+def _resblock_chain_fwd(x, w1, b1, w2, b2):
+    if USE_PALLAS_CHAIN and _use_pallas() and (x.shape[2] + 4) % 8 == 0:
+        w1t, b1r, w2t, b2r = _taps(w1, b1, w2, b2)
+        outs = [
+            _fused_chain_single(x[i], w1t, b1r, w2t, b2r,
+                                tile_rows=_pick_tile(x.shape[1]))
+            for i in range(x.shape[0])
+        ]
+        out = jnp.stack(outs, 0)
+    else:
+        out = resblock_chain_xla(x, w1, b1, w2, b2)
+    return out, (x, w1, b1, w2, b2)
+
+
+def _resblock_chain_bwd(res, g):
+    x, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(resblock_chain_xla, x, w1, b1, w2, b2)
+    return vjp(g)
+
+
+resblock_chain.defvjp(_resblock_chain_fwd, _resblock_chain_bwd)

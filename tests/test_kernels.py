@@ -73,3 +73,59 @@ def test_upsample4_auto_falls_back_off_tpu(rng):
     got = np.asarray(upsample4_auto(x, "bilinear"))  # CPU in tests -> XLA path
     want = np.asarray(upscale_bilinear(x, 4))
     np.testing.assert_array_equal(got, want)
+
+
+def test_resblock_chain_pallas_matches_xla(rng):
+    """Fused chain (interpret mode) == XLA oracle, fwd and bwd."""
+    import functools
+    from unittest import mock
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    import tecogan_tpu.kernels.resblocks as R
+
+    B, H, W, C, N = 1, 16, 12, 8, 3
+    x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(N, 3, 3, C, C).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(N, 3, 3, C, C).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(N, C).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(N, C).astype(np.float32) * 0.1)
+
+    want = R.resblock_chain_xla(x, w1, b1, w2, b2)
+    with mock.patch.object(R.pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        w1t, b1r, w2t, b2r = R._taps(w1, b1, w2, b2)
+        got = R._fused_chain_single(x[0], w1t, b1r, w2t, b2r, tile_rows=4)[None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # custom_vjp backward (XLA replay) == plain autodiff of the oracle.
+    g1 = jax.grad(lambda v: jnp.sum(R.resblock_chain(v, w1, b1, w2, b2) ** 2))(x)
+    g2 = jax.grad(lambda v: jnp.sum(R.resblock_chain_xla(v, w1, b1, w2, b2) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_resblock_chain_odd_length(rng):
+    """Odd chain length exercises the final buf->out copy (interpret)."""
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    import tecogan_tpu.kernels.resblocks as R
+
+    H, W, C, N = 8, 12, 8, 1
+    x = jnp.asarray(rng.rand(H, W, C).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(N, 3, 3, C, C).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(N, 3, 3, C, C).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(N, C).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(N, C).astype(np.float32) * 0.1)
+    want = R.resblock_chain_xla(x[None], w1, b1, w2, b2)[0]
+    with mock.patch.object(R.pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        w1t, b1r, w2t, b2r = R._taps(w1, b1, w2, b2)
+        got = R._fused_chain_single(x, w1t, b1r, w2t, b2r, tile_rows=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
