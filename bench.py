@@ -60,6 +60,12 @@ def main() -> None:
 
     device_fps = sr.device_fps(frames, reps=5)
 
+    # Aggregate throughput over 4 concurrent streams (multi-stream serving;
+    # no reference analog — the reference is strictly single-stream).
+    streams = np.stack([frames] * 4)
+    sr4 = StreamingSR(cfg, gen_params, fnet_params, output="uint8")
+    multi_fps = sr4.device_fps_batched(streams, reps=3)
+
     # End-to-end: host float32 in -> device -> uint8 out, transfers included.
     sr.run(frames, warmup=WARMUP)  # compile + backend warm-up
     host_fps = 0.0
@@ -74,6 +80,7 @@ def main() -> None:
         "unit": "frames/sec/chip",
         "vs_baseline": round(device_fps / REF_GPU_FPS, 2),
         "host_io_fps": round(host_fps, 1),
+        "multi_stream_fps": round(multi_fps, 1),
         "dtype": dtype,
     }))
 

@@ -81,6 +81,9 @@ def _lerp(g, ay, ax):
 # 2160x3840 on v5e). Above this pixel count the warp gathers within
 # row-blocked slabs instead (requires a flow bound).
 _BLOCK_THRESHOLD_PIXELS = 2_000_000
+# Per-image pixel count above which batched warps are mapped per image
+# (keeps each gather's working set to a single frame).
+_MAP_THRESHOLD_PIXELS = 250_000
 _DEFAULT_MAX_DISPLACEMENT = 96.0  # 4 * flow_max_velocity (frvsr.py:39-40)
 
 
@@ -120,6 +123,19 @@ def dense_image_warp(
     """
     b, h, w, c = image.shape
     dtype = image.dtype
+
+    # Batched large frames: gather throughput collapses when the operand
+    # spans all batch elements (working set b*H*W*4C); map per image so each
+    # gather sees one frame's operand (measured 2.3x at B=4, 576x720).
+    if b > 1 and h * w > _MAP_THRESHOLD_PIXELS:
+        def one(args):
+            im, fl = args
+            return dense_image_warp(
+                im[None], fl[None], max_displacement=max_displacement,
+                row_block=row_block, col_block=col_block,
+            )[0]
+        return jax.lax.map(one, (image, flow))
+
     iy, ix, ay, ax = _corner_coords(image.shape, flow, dtype)
     packed = _tap_pack(image)
 

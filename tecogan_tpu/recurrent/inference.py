@@ -187,6 +187,36 @@ class StreamingSR:
         hrs = np.concatenate(outs, axis=1)
         return hrs[:, warmup:], elapsed
 
+    def device_fps_batched(self, streams: np.ndarray, reps: int = 3) -> float:
+        """Aggregate device throughput over B concurrent streams
+        ((B, T, h, w, 3) input); counts B*T frames per pass."""
+        bsz, t, h, w, _ = streams.shape
+        gen_apply, fnet_apply = self.generator.apply, self.fnet.apply
+
+        @jax.jit
+        def scan_all(gen_params, fnet_params, state, lr_chunk):
+            def body(st, lr):
+                st, hr = frame_step(
+                    gen_apply, fnet_apply, gen_params, fnet_params, st, lr
+                )
+                return st, jnp.sum(hr.astype(jnp.float32))
+            st, sums = jax.lax.scan(body, state, lr_chunk)
+            return st, jnp.sum(sums)
+
+        lr = jnp.asarray(streams.transpose(1, 0, 2, 3, 4), self.dtype)
+        state = init_state(bsz, h, w, self.dtype)
+        compiled = scan_all.lower(
+            self.gen_params, self.fnet_params, state, lr).compile()
+        for _ in range(2):
+            state, s = compiled(self.gen_params, self.fnet_params, state, lr)
+            float(jax.device_get(s))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, s = compiled(self.gen_params, self.fnet_params, state, lr)
+        float(jax.device_get(s))
+        dt = (time.perf_counter() - t0) / reps
+        return bsz * t / dt
+
     # -------------------------------------------------------------- bench
     def device_fps(self, frames: np.ndarray, reps: int = 5) -> float:
         """Sustained device throughput (frames/sec) of the streaming step.
