@@ -165,6 +165,18 @@ def train(
                 if step % config.save_freq == 0 or step == total:
                     save_checkpoint(ckpt_dir, state, step)
                     print(f"Saved checkpoint at step {step}")
+                    # Animated sequence summaries (reference gif_summary of
+                    # LR/HR/Generated, Teco.py:498-503).
+                    try:
+                        lr_s, hr_s, gen_s = trainer.generate(state, batch)
+                        for tag, seq in (("InputLR", lr_s),
+                                         ("TargetHR", hr_s),
+                                         ("GeneratedHR", gen_s)):
+                            logger.gif(step, tag,
+                                       np.asarray(jax.device_get(seq)),
+                                       max_outputs=1)
+                    except Exception as e:  # summaries must never kill training
+                        print(f"gif summary failed: {e}")
                     if test_while_train:
                         _spawn_test_while_train(config, output_dir, ckpt_dir)
     except KeyboardInterrupt:

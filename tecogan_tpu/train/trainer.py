@@ -409,9 +409,28 @@ class Trainer:
         )
         return metrics
 
+    def _generate_impl(self, state: TrainState, hr_seq: jnp.ndarray):
+        """Forward-only generation for summaries (reference gif_summary
+        inputs, Teco.py:498-503): returns (r_inputs, targets01, gen01)."""
+        cfg = self.config
+        r_inputs, r_targets = prepare_batch(hr_seq, cfg)
+        flow_lr, flow_hr = flows_for_sequence(
+            self.fnet.apply, state.fnet_params, r_inputs)
+        gen_outputs, _ = unroll_generator(
+            self.generator.apply, state.gen_params, r_inputs, flow_hr,
+            remat=False,
+        )
+        return r_inputs, (r_targets + 1) / 2, (gen_outputs + 1) / 2
+
     # --------------------------------------------------------------- public
     def train_step(self, state: TrainState, hr_seq) -> Tuple[TrainState, Dict]:
         return self._train_step(state, hr_seq)
+
+    def generate(self, state: TrainState, hr_seq):
+        """(LR, HR, generated) sequences in [0, 1] for summaries."""
+        if not hasattr(self, "_generate"):
+            self._generate = jax.jit(self._generate_impl)
+        return self._generate(state, hr_seq)
 
     def eval_step(self, state: TrainState, hr_seq) -> Dict:
         return self._eval_step(state, hr_seq)
