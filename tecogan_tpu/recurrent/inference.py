@@ -30,7 +30,14 @@ import numpy as np
 
 from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.models import FNet, Generator
-from tecogan_tpu.recurrent.step import RecurrentState, frame_step, init_state
+from tecogan_tpu.ops import deprocess
+from tecogan_tpu.ops.warp import warp_space_to_depth
+from tecogan_tpu.recurrent.step import (
+    RecurrentState,
+    frame_step,
+    init_state,
+    upscale_flow,
+)
 
 WARMUP_FRAMES = 5  # reference dataloader.py:42-44
 
@@ -75,17 +82,35 @@ class StreamingSR:
 
     # ------------------------------------------------------------- chunk fn
     def _build_chunk_fn(self):
+        """Offline-optimal chunk step, semantically identical to the live
+        per-frame step: fnet and the flow upsample run once as a (T*B)
+        batch (better MXU utilization than T serial 1-batch calls), then a
+        scan carries only the truly recurrent warp+generator."""
         gen_apply = self.generator.apply
         fnet_apply = self.fnet.apply
         as_uint8 = self.output == "uint8"
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def run_chunk(gen_params, fnet_params, state, lr_chunk):
-            # lr_chunk: (T, B, h, w, 3)
-            def body(st, lr):
-                st, hr = frame_step(
-                    gen_apply, fnet_apply, gen_params, fnet_params, st, lr
+            t, b, h, w, c = lr_chunk.shape
+            # Adjacent pairs incl. the carried previous frame.
+            prev = jnp.concatenate([state.prev_lr[None], lr_chunk[:-1]], axis=0)
+            pairs = jnp.concatenate([prev, lr_chunk], axis=-1)
+            flow_lr = fnet_apply(
+                {"params": fnet_params}, pairs.reshape(t * b, h, w, 2 * c)
+            )
+            flow_hr = upscale_flow(flow_lr, h, w)
+            flow_hr = flow_hr.reshape(t, b, 4 * h, 4 * w, 2)
+
+            def body(st, xs):
+                lr, flow = xs
+                packed = warp_space_to_depth(st.prev_hr, flow, 4)
+                gen_out = gen_apply(
+                    {"params": gen_params},
+                    jnp.concatenate([lr, packed], axis=-1),
                 )
+                hr = deprocess(gen_out)
+                st = RecurrentState(prev_lr=lr, prev_hr=hr)
                 if as_uint8:  # reference ops.py:520-523 quantization, on device
                     out = jnp.clip(
                         hr.astype(jnp.float32) * 255.0, 0.0, 255.0
@@ -94,7 +119,7 @@ class StreamingSR:
                     out = hr.astype(jnp.float32)
                 return st, out
 
-            state, hr = jax.lax.scan(body, state, lr_chunk)
+            state, hr = jax.lax.scan(body, state, (lr_chunk, flow_hr))
             return state, hr
 
         return run_chunk
@@ -191,21 +216,18 @@ class StreamingSR:
         """Aggregate device throughput over B concurrent streams
         ((B, T, h, w, 3) input); counts B*T frames per pass."""
         bsz, t, h, w, _ = streams.shape
-        gen_apply, fnet_apply = self.generator.apply, self.fnet.apply
+        if self._chunk_fn is None:
+            self._chunk_fn = self._build_chunk_fn()
+        chunk_fn = self._chunk_fn
 
         @jax.jit
-        def scan_all(gen_params, fnet_params, state, lr_chunk):
-            def body(st, lr):
-                st, hr = frame_step(
-                    gen_apply, fnet_apply, gen_params, fnet_params, st, lr
-                )
-                return st, jnp.sum(hr.astype(jnp.float32))
-            st, sums = jax.lax.scan(body, state, lr_chunk)
-            return st, jnp.sum(sums)
+        def step(gen_params, fnet_params, state, lr_chunk):
+            state, hr = chunk_fn(gen_params, fnet_params, state, lr_chunk)
+            return state, jnp.sum(hr.astype(jnp.float32))
 
         lr = jnp.asarray(streams.transpose(1, 0, 2, 3, 4), self.dtype)
         state = init_state(bsz, h, w, self.dtype)
-        compiled = scan_all.lower(
+        compiled = step.lower(
             self.gen_params, self.fnet_params, state, lr).compile()
         for _ in range(2):
             state, s = compiled(self.gen_params, self.fnet_params, state, lr)
@@ -219,29 +241,27 @@ class StreamingSR:
 
     # -------------------------------------------------------------- bench
     def device_fps(self, frames: np.ndarray, reps: int = 5) -> float:
-        """Sustained device throughput (frames/sec) of the streaming step.
+        """Sustained device throughput (frames/sec) of the streaming engine
+        (the same chunk fn :meth:`run` uses).
 
-        Uploads the LR sequence once, then repeatedly scans the full
-        sequence with the recurrent state chained between reps; syncs via a
-        dependent scalar fetch (reliable even where ``block_until_ready`` is
-        a no-op, e.g. tunneled backends).
+        Uploads the LR sequence once, then repeatedly processes it with the
+        recurrent state chained between reps; syncs via a dependent scalar
+        fetch (reliable even where ``block_until_ready`` is a no-op, e.g.
+        tunneled backends).
         """
         t, h, w, _ = frames.shape
-        gen_apply, fnet_apply = self.generator.apply, self.fnet.apply
+        if self._chunk_fn is None:
+            self._chunk_fn = self._build_chunk_fn()
+        chunk_fn = self._chunk_fn
 
         @jax.jit
-        def scan_all(gen_params, fnet_params, state, lr_chunk):
-            def body(st, lr):
-                st, hr = frame_step(
-                    gen_apply, fnet_apply, gen_params, fnet_params, st, lr
-                )
-                return st, jnp.sum(hr.astype(jnp.float32))
-            st, sums = jax.lax.scan(body, state, lr_chunk)
-            return st, jnp.sum(sums)
+        def step(gen_params, fnet_params, state, lr_chunk):
+            state, hr = chunk_fn(gen_params, fnet_params, state, lr_chunk)
+            return state, jnp.sum(hr.astype(jnp.float32))
 
         lr = jnp.asarray(frames[:, None], self.dtype)
         state = init_state(1, h, w, self.dtype)
-        compiled = scan_all.lower(self.gen_params, self.fnet_params, state, lr).compile()
+        compiled = step.lower(self.gen_params, self.fnet_params, state, lr).compile()
         # Warm up twice: first execution pays one-off backend initialization.
         for _ in range(2):
             state, s = compiled(self.gen_params, self.fnet_params, state, lr)
