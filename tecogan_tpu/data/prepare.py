@@ -176,6 +176,18 @@ def main(argv=None) -> None:
                    help="generate N procedural scenes instead (offline)")
     args = p.parse_args(argv)
 
+    # stdout tee (reference dataPrepare.py:72-85).
+    import sys
+
+    from tecogan_tpu.utils.logging import Tee
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    Tee(os.path.join(args.output_dir, "logfile.txt")).install()
+    print("[Configurations]:")
+    for k, v in sorted(vars(args).items()):
+        print(f"\t{k}: {v}")
+    print("End of configuration")
+
     if args.synthetic > 0:
         from tecogan_tpu.data.synthetic import write_synthetic_scenes
 

@@ -155,6 +155,17 @@ def train(
                     logger.scalars(step, {
                         "learning_rate": float(jax.device_get(
                             metrics["learning_rate"]))})
+                    if config.gan:
+                        # D-health telemetry (reference Teco.py:451-452,
+                        # 495-496): gate balance EMA + branch counters.
+                        logger.scalars(step, {
+                            "t_balance_EMA": float(jax.device_get(
+                                state.ema_tbalance)),
+                            "withD_counter": int(jax.device_get(
+                                state.counter_with_d)),
+                            "w_o_D_counter": int(jax.device_get(
+                                state.counter_wo_d)),
+                        })
                     if val_loader is not None:
                         vm = trainer.eval_step(state, put(val_loader.next_batch()))
                         logger.scalars(
