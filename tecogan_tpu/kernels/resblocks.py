@@ -13,9 +13,15 @@ reaches ~33 TF/s via its internal im2col (K=576). Fusing the chain removes
 per-op overhead (~10-30 us/op) but that saving is smaller than the MXU
 utilization gap. The kernel is therefore NOT wired into the default model
 path — `resblock_chain` dispatches to it only when explicitly requested;
-it is kept as validated infrastructure for a future pair-packed
-(two-pixels-per-MXU-row, block-diagonal weights) variant that would lift
-tap matmuls to 50% utilization. XLA remains the production path.
+XLA remains the production path.
+
+The pair-packed variants below (`resblock_chain_paired`, `_v2`) lift the
+tap matmuls to dense (M, 128) @ (128, 128) tiles (50% useful MACs) and DO
+beat XLA in isolation (2.21 ms vs 2.62 ms) — but wired into the full
+streaming step they LOSE (~164 vs ~194 fps): the pair pack/unpack layout
+transposes and per-frame kernel launches cost more than the 0.4 ms saved,
+and bf16 tap-order drift compounds over 16 blocks. All variants stay
+available for offline experimentation; none is on the default path.
 
 Layout: the (H, W, C) activation is stored flat as (P*S, C) where S = W+4
 is the row stride (8-aligned; two zero columns each side) and P = H+6
@@ -252,3 +258,347 @@ def _resblock_chain_bwd(res, g):
 
 
 resblock_chain.defvjp(_resblock_chain_fwd, _resblock_chain_bwd)
+
+
+# ------------------------------------------------- pair-packed variant
+# Two adjacent pixels share one 128-lane row ([a(64) | b(64)]), so every tap
+# matmul is (M, 128) @ (128, 128) — a dense MXU tile instead of the 25%-
+# utilized (M, 64) @ (64, 64) of the flat variant. The 3x3 conv becomes, per
+# row offset dy, three pair-matmuls against block-structured weights:
+#   out_pair[k] = pair[k-1] @ A_dy + pair[k] @ B_dy + pair[k+1] @ C_dy
+#   A_dy[64:, :64] = w(dy,-1)                 (b_{k-1} -> a)
+#   B_dy = [[w(dy,0), w(dy,-1)], [w(dy,+1), w(dy,0)]]
+#   C_dy[:64, 64:] = w(dy,+1)                 (a_{k+1} -> b)
+# Useful-MAC fraction is 50% of a fully dense MXU pass = 2x the flat form.
+
+_PAIR_PAD_COLS = 2  # zero image columns on the left (cols 0-1 = pad pair)
+
+
+def _pack_pair_weights(w_taps: jnp.ndarray) -> jnp.ndarray:
+    """(9, C, C) tap weights -> (9, 2C, 2C) pair matmul matrices.
+
+    Output index t = dy*3 + j with j in {0: A (pair k-1), 1: B (pair k),
+    2: C (pair k+1)}.
+    """
+    c = w_taps.shape[-1]
+    out = jnp.zeros((9, 2 * c, 2 * c), w_taps.dtype)
+    for dy in range(3):
+        w_m = w_taps[dy * 3 + 0]   # dx = -1
+        w_0 = w_taps[dy * 3 + 1]   # dx = 0
+        w_p = w_taps[dy * 3 + 2]   # dx = +1
+        out = out.at[dy * 3 + 0, c:, :c].set(w_m)
+        out = out.at[dy * 3 + 1, :c, :c].set(w_0)
+        out = out.at[dy * 3 + 1, :c, c:].set(w_m)
+        out = out.at[dy * 3 + 1, c:, :c].set(w_p)
+        out = out.at[dy * 3 + 1, c:, c:].set(w_0)
+        out = out.at[dy * 3 + 2, :c, c:].set(w_p)
+    return out
+
+
+def _paired_kernel(w1_ref, b1_ref, w2_ref, b2_ref, x_ref, o_ref, buf_ref, *,
+                   h: int, w: int, c: int, s_cols: int, tile_rows: int,
+                   n_res: int):
+    """Pair-packed chain: activations (M2, 2C), pairs per row s2 = s_cols/2."""
+    del x_ref
+    r = pl.program_id(0)
+    s2 = s_cols // 2
+    first = _PAD_ROWS * s2
+    n_tiles = h // tile_rows
+    t_m = tile_rows * s2
+    y_len = t_m + 2 * s2 + 2
+    v_len = t_m + 4 * s2 + 16
+    total = (h + 2 * _PAD_ROWS) * s2
+    img_pairs = w // 2  # image pairs per row, starting at pair index 1
+
+    def mask_for(q0, n_rows, dtype):
+        q = q0 + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+        col = q % s2
+        row = q // s2
+        ok = ((col >= 1) & (col < 1 + img_pairs)
+              & (row >= _PAD_ROWS) & (row < _PAD_ROWS + h))
+        return ok.astype(dtype)
+
+    def body(src, dst):
+        w1k = w1_ref[0]                      # (9, 2C, 2C)
+        w2k = w2_ref[0]
+        b1k = b1_ref[0].astype(jnp.float32)  # (1, 2C)
+        b2k = b2_ref[0].astype(jnp.float32)
+
+        def tile_step(i, _):
+            q_out = first + i * t_m
+            q_y = q_out - s2 - 1
+            v0 = q_out - 2 * s2 - 8
+            win = src[pl.ds(v0, v_len), :]
+
+            def conv(block, wk, base_off):
+                acc = None
+                for dy in (-1, 0, 1):
+                    for j in (-1, 0, 1):
+                        off = base_off + dy * s2 + j
+                        tap = block[off : off + (y_len if wk is w1k else t_m), :]
+                        t = (dy + 1) * 3 + (j + 1)
+                        p = jnp.dot(tap, wk[t],
+                                    preferred_element_type=jnp.float32)
+                        acc = p if acc is None else acc + p
+                return acc
+
+            y = conv(win, w1k, s2 + 7)  # (q_y + dy*s2 + j) - v0
+            y = jnp.maximum(y + b1k, 0.0) * mask_for(q_y, y_len, jnp.float32)
+            y = y.astype(src.dtype)
+            acc2 = conv(y, w2k, s2 + 1)  # (q_out + dy*s2 + j) - q_y
+            skip = win[2 * s2 + 8 : 2 * s2 + 8 + t_m, :].astype(jnp.float32)
+            out = (skip + acc2 + b2k) * mask_for(q_out, t_m, jnp.float32)
+            dst[pl.ds(q_out, t_m), :] = out.astype(dst.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, tile_step, 0)
+        dst[pl.ds(0, first), :] = jnp.zeros((first, 2 * c), dst.dtype)
+        tail = first + h * s2
+        dst[pl.ds(tail, total - tail), :] = jnp.zeros(
+            (total - tail, 2 * c), dst.dtype)
+
+    even = r % 2 == 0
+
+    @pl.when(even)
+    def _():
+        body(o_ref, buf_ref)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        body(buf_ref, o_ref)
+
+    if n_res % 2 == 1:
+        @pl.when(r == n_res - 1)
+        def _():
+            o_ref[:, :] = buf_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def _fused_chain_single_paired(x, w1p, b1p, w2p, b2p, tile_rows: int):
+    """Pair-packed chain for one (H, W, C) image; W even.
+
+    Row stride: image cols sit at [2, 2+W) inside s_cols total columns where
+    s_cols = W + 4 rounded up so that s_cols/2 is a multiple of 8.
+    """
+    h, w, c = x.shape
+    n_res = w1p.shape[0]
+    s_cols = w + 4
+    if (s_cols // 2) % 8 != 0:
+        s_cols = w + 4 + (16 - (w + 4) % 16) % 16
+    pad_right = s_cols - w - 2
+    xp = jnp.pad(x, ((_PAD_ROWS, _PAD_ROWS), (2, pad_right), (0, 0)))
+    p_rows = h + 2 * _PAD_ROWS
+    # (P, S, C) -> pair-packed (P * S/2, 2C)
+    flat = xp.reshape(p_rows, s_cols // 2, 2 * c).reshape(
+        p_rows * (s_cols // 2), 2 * c)
+
+    kernel = functools.partial(
+        _paired_kernel, h=h, w=w, c=c, s_cols=s_cols, tile_rows=tile_rows,
+        n_res=n_res)
+    m2 = flat.shape[0]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_res,),
+        in_specs=[
+            pl.BlockSpec((1, 9, 2 * c, 2 * c), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * c), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, 2 * c, 2 * c), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * c), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m2, 2 * c), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m2, 2 * c), lambda r: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m2, 2 * c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m2, 2 * c), x.dtype)],
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(w1p, b1p, w2p, b2p, flat)
+    out = out.reshape(p_rows, s_cols, c)
+    return out[_PAD_ROWS : _PAD_ROWS + h, 2 : 2 + w, :]
+
+
+def _pair_taps(w1, b1, w2, b2):
+    """(N,3,3,C,C)/(N,C) -> pair-packed (N,9,2C,2C)/(N,1,2C)."""
+    n, _, _, c, _ = w1.shape
+    w1t = w1.reshape(n, 9, c, c)
+    w2t = w2.reshape(n, 9, c, c)
+    w1p = jnp.stack([_pack_pair_weights(w1t[i]) for i in range(n)])
+    w2p = jnp.stack([_pack_pair_weights(w2t[i]) for i in range(n)])
+    b1p = jnp.concatenate([b1, b1], axis=-1).reshape(n, 1, 2 * c)
+    b2p = jnp.concatenate([b2, b2], axis=-1).reshape(n, 1, 2 * c)
+    return w1p, b1p, w2p, b2p
+
+
+def resblock_chain_paired(x, w1, b1, w2, b2):
+    """Pair-packed fused chain over (B, H, W, C); forward only (use
+    :func:`resblock_chain` + custom VJP wiring for training)."""
+    w1p, b1p, w2p, b2p = _pair_taps(w1, b1, w2, b2)
+    outs = [
+        _fused_chain_single_paired(x[i], w1p, b1p, w2p, b2p,
+                                   tile_rows=_pick_tile(x.shape[1]))
+        for i in range(x.shape[0])
+    ]
+    return jnp.stack(outs, 0)
+
+
+def _paired_kernel_v2(w1_ref, b1_ref, w2_ref, b2_ref, x_ref, o_ref,
+                      buf_ref, sl_ref, sr_ref, *,
+                      h: int, w: int, c: int, s_cols: int, tile_rows: int,
+                      n_res: int):
+    """Pair-packed chain v2: per block, build whole-buffer +-1-pair shifted
+    copies of the source (two static-slice copies) so all conv1 taps load
+    ALIGNED — the per-tap sublane relayouts of v1 were the bottleneck."""
+    del x_ref
+    r = pl.program_id(0)
+    s2 = s_cols // 2
+    first = _PAD_ROWS * s2
+    n_tiles = h // tile_rows
+    t_m = tile_rows * s2
+    # y block starts ALIGNED at q_out - s2 - 8; conv2 reads y at offsets
+    # (s2 + 8 + dy*s2 + j) + [0, t_m), so it must extend to t_m + 2*s2 + 16.
+    y_len = t_m + 2 * s2 + 16
+    # One extra bottom pad row: the last tile's deepest tap reaches
+    # first + h*s2 + 3*s2 + 8, which is 8 past symmetric 3-row padding.
+    total = (h + 2 * _PAD_ROWS + 1) * s2
+    img_pairs = w // 2
+
+    def mask_for(q0, n_rows, dtype):
+        q = q0 + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+        col = q % s2
+        row = q // s2
+        ok = ((col >= 1) & (col < 1 + img_pairs)
+              & (row >= _PAD_ROWS) & (row < _PAD_ROWS + h))
+        return ok.astype(dtype)
+
+    def body(src, dst):
+        # Whole-buffer shifted copies: sl[q] = src[q+1], sr[q] = src[q-1].
+        sl_ref[0 : total - 8, :] = src[8 - 7 : total - 7, :]
+        sl_ref[total - 8 : total, :] = jnp.zeros((8, 2 * c), src.dtype)
+        sr_ref[8:total, :] = src[7 : total - 1, :]
+        sr_ref[0:8, :] = jnp.zeros((8, 2 * c), src.dtype)
+
+        w1k = w1_ref[0]
+        w2k = w2_ref[0]
+        b1k = b1_ref[0].astype(jnp.float32)
+        b2k = b2_ref[0].astype(jnp.float32)
+
+        def tile_step(i, _):
+            q_out = first + i * t_m
+            q_y = q_out - s2 - 8          # ALIGNED y-block origin
+            acc = None
+            for dy in (-1, 0, 1):
+                for j, buf in ((-1, sr_ref), (0, src), (1, sl_ref)):
+                    # buf[q] == src[q + j]; want src[q_y + k + dy*s2 + j]
+                    tap = buf[pl.ds(q_y + dy * s2, y_len), :]
+                    t = (dy + 1) * 3 + (j + 1)
+                    p = jnp.dot(tap, w1k[t],
+                                preferred_element_type=jnp.float32)
+                    acc = p if acc is None else acc + p
+            y = jnp.maximum(acc + b1k, 0.0) * mask_for(q_y, y_len, jnp.float32)
+            y = y.astype(src.dtype)
+            acc2 = None
+            for dy in (-1, 0, 1):
+                for j in (-1, 0, 1):
+                    off = s2 + 8 + dy * s2 + j  # (q_out + dy*s2 + j) - q_y
+                    tap = y[off : off + t_m, :]
+                    t = (dy + 1) * 3 + (j + 1)
+                    p = jnp.dot(tap, w2k[t],
+                                preferred_element_type=jnp.float32)
+                    acc2 = p if acc2 is None else acc2 + p
+            skip = src[pl.ds(q_out, t_m), :].astype(jnp.float32)
+            out = (skip + acc2 + b2k) * mask_for(q_out, t_m, jnp.float32)
+            dst[pl.ds(q_out, t_m), :] = out.astype(dst.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, tile_step, 0)
+        dst[pl.ds(0, first), :] = jnp.zeros((first, 2 * c), dst.dtype)
+        tail = first + h * s2
+        dst[pl.ds(tail, total - tail), :] = jnp.zeros(
+            (total - tail, 2 * c), dst.dtype)
+
+    even = r % 2 == 0
+
+    @pl.when(even)
+    def _():
+        body(o_ref, buf_ref)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        body(buf_ref, o_ref)
+
+    if n_res % 2 == 1:
+        @pl.when(r == n_res - 1)
+        def _():
+            o_ref[:, :] = buf_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def _fused_chain_single_paired_v2(x, w1p, b1p, w2p, b2p, tile_rows: int):
+    h, w, c = x.shape
+    n_res = w1p.shape[0]
+    s_cols = w + 4
+    if (s_cols // 2) % 8 != 0:
+        s_cols = w + 4 + (16 - (w + 4) % 16) % 16
+    pad_right = s_cols - w - 2
+    xp = jnp.pad(x, ((_PAD_ROWS, _PAD_ROWS + 1), (2, pad_right), (0, 0)))
+    p_rows = h + 2 * _PAD_ROWS + 1
+    flat = xp.reshape(p_rows, s_cols // 2, 2 * c).reshape(
+        p_rows * (s_cols // 2), 2 * c)
+    m2 = flat.shape[0]
+
+    kernel = functools.partial(
+        _paired_kernel_v2, h=h, w=w, c=c, s_cols=s_cols,
+        tile_rows=tile_rows, n_res=n_res)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_res,),
+        in_specs=[
+            pl.BlockSpec((1, 9, 2 * c, 2 * c), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * c), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, 2 * c, 2 * c), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * c), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m2, 2 * c), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m2, 2 * c), lambda r: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m2, 2 * c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m2, 2 * c), x.dtype),
+            pltpu.VMEM((m2, 2 * c), x.dtype),
+            pltpu.VMEM((m2, 2 * c), x.dtype),
+        ],
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(w1p, b1p, w2p, b2p, flat)
+    out = out.reshape(p_rows, s_cols, c)
+    return out[_PAD_ROWS : _PAD_ROWS + h, 2 : 2 + w, :]
+
+
+def resblock_chain_paired_v2(x, w1, b1, w2, b2):
+    """Pair-packed fused chain with aligned tap loads (see v2 kernel)."""
+    w1p, b1p, w2p, b2p = _pair_taps(w1, b1, w2, b2)
+    outs = [
+        _fused_chain_single_paired_v2(x[i], w1p, b1p, w2p, b2p,
+                                      tile_rows=_pick_tile(x.shape[1]))
+        for i in range(x.shape[0])
+    ]
+    return jnp.stack(outs, 0)
+
+
+def resblock_chain_paired_v1_auto(x, w1, b1, w2, b2):
+    """Pair-packed chain on TPU (even W), XLA oracle elsewhere."""
+    if _use_pallas() and x.shape[2] % 2 == 0:
+        return resblock_chain_paired(x, w1, b1, w2, b2)
+    return resblock_chain_xla(x, w1, b1, w2, b2)

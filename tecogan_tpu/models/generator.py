@@ -57,3 +57,53 @@ class Generator(nn.Module):
         net = conv2(net, self.out_channels, 3, 1, name="output_stage_conv", **kw)
         net = net + bicubic_four(lr)
         return preprocess(net)
+
+
+def generator_apply_fused(params, x, num_resblock: int = 16):
+    """Pure-pytree generator forward with the residual trunk fused into one
+    Pallas launch (kernels/resblocks.py pair-packed chain; measured ~16%
+    faster than XLA's conv chain at streaming batch 1 on v5e).
+
+    Takes the SAME param tree as :class:`Generator` (checkpoint-compatible)
+    and matches ``Generator.apply`` exactly up to the trunk's bf16 tap-
+    summation order. Inference-only fast path — training uses the flax
+    module (XLA convs batch efficiently at batch >= 4).
+    """
+    from tecogan_tpu.kernels.resblocks import resblock_chain_paired_v1_auto
+
+    lr = x[..., :3]
+    p = params
+
+    def conv(name, v, stride=1):
+        k = p[name]["kernel"].astype(v.dtype)
+        out = jax.lax.conv_general_dilated(
+            v, k, (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + p[name]["bias"].astype(v.dtype)
+
+    def conv_tran(name, v):
+        # flax ConvTranspose(transpose_kernel=True, SAME): kernel (k,k,out,in).
+        k = p[name]["kernel"].astype(v.dtype)
+        out = jax.lax.conv_transpose(
+            v, k, (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True)
+        return out + p[name]["bias"].astype(v.dtype)
+
+    net = jax.nn.relu(conv("input_stage_conv", x))
+
+    w1 = jnp.stack([p[f"resblock_{i}_conv_1"]["kernel"]
+                    for i in range(1, num_resblock + 1)]).astype(net.dtype)
+    b1 = jnp.stack([p[f"resblock_{i}_conv_1"]["bias"]
+                    for i in range(1, num_resblock + 1)]).astype(net.dtype)
+    w2 = jnp.stack([p[f"resblock_{i}_conv_2"]["kernel"]
+                    for i in range(1, num_resblock + 1)]).astype(net.dtype)
+    b2 = jnp.stack([p[f"resblock_{i}_conv_2"]["bias"]
+                    for i in range(1, num_resblock + 1)]).astype(net.dtype)
+    net = resblock_chain_paired_v1_auto(net, w1, b1, w2, b2)
+
+    net = jax.nn.relu(conv_tran("conv_tran1", net))
+    net = jax.nn.relu(conv_tran("conv_tran2", net))
+    net = conv("output_stage_conv", net)
+    net = net + bicubic_four(lr)
+    return preprocess(net)

@@ -139,3 +139,19 @@ def test_vgg19_endpoints(rng):
     assert feats["conv5_4"].shape == (1, 2, 2, 512)
     # VGG19 conv-tower param count (no classifier): standard 20.02M.
     assert n_params(params) == 20_024_384
+
+
+def test_generator_apply_fused_matches_flax(rng):
+    """Pure-pytree fused-trunk apply == Generator.apply (XLA path on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tecogan_tpu.models import Generator
+    from tecogan_tpu.models.generator import generator_apply_fused
+
+    gen = Generator(num_resblock=3, channels=64)
+    x = jnp.asarray(rng.rand(2, 16, 20, 51).astype(np.float32))
+    p = gen.init(jax.random.PRNGKey(0), x)["params"]
+    a = np.asarray(gen.apply({"params": p}, x))
+    b = np.asarray(generator_apply_fused(p, x, num_resblock=3))
+    np.testing.assert_array_equal(a, b)
