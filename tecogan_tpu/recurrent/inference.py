@@ -58,13 +58,18 @@ class StreamingSR:
     """
 
     def __init__(self, config: TecoConfig, gen_params, fnet_params,
-                 output: str = "float32"):
+                 output: str = "float32", spatial_mesh=None):
+        """``spatial_mesh``: optional Mesh with a ``config.sp_axis`` axis —
+        frames and recurrent state are H-sharded across it and GSPMD inserts
+        the conv/warp halo exchanges over ICI (SURVEY.md §2.3: the
+        context-parallel analog for this workload)."""
         self.config = config
         dtype = jnp.dtype(config.compute_dtype)
         self.dtype = dtype
         if output not in ("float32", "uint8"):
             raise ValueError(f"output must be float32|uint8, got {output}")
         self.output = output
+        self.spatial_mesh = spatial_mesh
         self.generator = Generator(
             num_resblock=config.num_resblock,
             channels=config.gen_channels,
@@ -122,6 +127,23 @@ class StreamingSR:
             state, hr = jax.lax.scan(body, state, (lr_chunk, flow_hr))
             return state, hr
 
+        if self.spatial_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = self.spatial_mesh
+            axis = self.config.sp_axis
+            repl = NamedSharding(mesh, P())
+            st_sh = RecurrentState(
+                prev_lr=NamedSharding(mesh, P(None, axis)),
+                prev_hr=NamedSharding(mesh, P(None, axis)),
+            )
+            chunk_sh = NamedSharding(mesh, P(None, None, axis))
+            return jax.jit(
+                run_chunk.__wrapped__,  # re-jit with shardings
+                donate_argnums=(2,),
+                in_shardings=(repl, repl, st_sh, chunk_sh),
+                out_shardings=(st_sh, chunk_sh),
+            )
         return run_chunk
 
     # ------------------------------------------------------------- public

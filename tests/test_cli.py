@@ -125,3 +125,45 @@ def test_warm_start_from_checkpoint(scene_root, tmp_path):
     # ...while the discriminator stays freshly initialized.
     assert s3.d_params is not None
     assert int(np.asarray(s3.step)) == 0
+
+
+def test_no_negative_stride_slices_in_device_code():
+    """Negative-step slices SIGABRT the TPU compiler at batch > 1 (found the
+    hard way); guard against reintroduction in device-side modules."""
+    import re
+
+    device_files = []
+    base = os.path.join(os.path.dirname(__file__), "..", "tecogan_tpu")
+    for sub in ("ops", "models", "recurrent", "kernels", "parallel"):
+        d = os.path.join(base, sub)
+        device_files += [os.path.join(d, f) for f in os.listdir(d)
+                         if f.endswith(".py")]
+    device_files += [os.path.join(base, "train", f)
+                     for f in ("losses.py", "trainer.py")]
+    # A subscript segment with TWO colons whose step is negative,
+    # e.g. "x[5:0:-1]" or "x[:, ::-1]" — NOT "x[:, :-1]" (negative stop).
+    pattern = re.compile(r"(^|[\[,])\s*[^,\[\]]*:[^,:\[\]]*:\s*-\s*\w")
+    host_markers = ("np.", "cv2.", "list(", ".tobytes")
+    bad = []
+    for path in device_files:
+        for i, line in enumerate(open(path), 1):
+            code = line.split("#")[0]
+            if pattern.search(code) and not any(m in code for m in host_markers):
+                bad.append(f"{path}:{i}: {line.strip()}")
+    assert not bad, "negative-stride slice in device code:\n" + "\n".join(bad)
+
+
+def test_profiler_utils(tmp_path):
+    from tecogan_tpu.utils.profiling import StepTimer, device_time, trace
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    secs = device_time(f, jnp.ones((8, 8)), iters=3, warmup=1)
+    assert secs > 0
+    t = StepTimer(items_per_step=4, total_steps=100)
+    t.tick(10)
+    assert t.rate() > 0 and t.eta_hours(10) is not None
+    with trace(str(tmp_path / "tr")):
+        float(f(jnp.ones(())).sum())
+    assert any((tmp_path / "tr").rglob("*"))

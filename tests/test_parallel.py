@@ -105,3 +105,28 @@ def test_spatial_sharding_matches_unsharded(rng):
     run = spatial_streaming_fn(gen.apply, fnet.apply, mesh)
     _, got = run(gp, fp, init_state(1, h, w), frames)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_sr_spatial_mesh(rng):
+    """StreamingSR with an H-sharded mesh matches the unsharded run."""
+    from tecogan_tpu.parallel import make_mesh
+    from tecogan_tpu.recurrent.inference import StreamingSR
+    from tecogan_tpu.models import FNet, Generator
+
+    cfg = TecoConfig(num_resblock=2, compute_dtype="float32", infer_chunk=4)
+    H = W = 32  # divisible by 8 devices and fnet's /8 pools
+    gen = Generator(num_resblock=2, channels=cfg.gen_channels)
+    fnet = FNet(channels=cfg.fnet_channels, up_channels=cfg.fnet_up_channels,
+                max_velocity=cfg.flow_max_velocity)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    gp = gen.init(k1, jnp.zeros((1, H, W, 51)))["params"]
+    fp = fnet.init(k2, jnp.zeros((1, H, W, 6)))["params"]
+    frames = rng.rand(6, H, W, 3).astype(np.float32)
+
+    plain = StreamingSR(cfg, gp, fp)
+    a, _ = plain.run(frames, warmup=1)
+
+    mesh = make_mesh({cfg.sp_axis: 8})
+    sharded = StreamingSR(cfg, gp, fp, spatial_mesh=mesh)
+    b, _ = sharded.run(frames, warmup=1)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
