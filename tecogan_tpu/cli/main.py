@@ -17,8 +17,6 @@ from __future__ import annotations
 import argparse
 import os
 import random
-import sys
-import time
 
 import numpy as np
 

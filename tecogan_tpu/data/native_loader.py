@@ -18,7 +18,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

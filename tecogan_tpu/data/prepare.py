@@ -177,8 +177,6 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     # stdout tee (reference dataPrepare.py:72-85).
-    import sys
-
     from tecogan_tpu.utils.logging import Tee
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -29,7 +29,7 @@ normalization (networks_basic.py:30-31).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

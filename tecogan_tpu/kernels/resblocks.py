@@ -46,7 +46,6 @@ convs are efficient; the fused forward targets streaming inference.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

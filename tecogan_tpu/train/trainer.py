@@ -24,8 +24,7 @@ treated as constants).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.struct
 import jax
