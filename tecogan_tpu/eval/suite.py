@@ -96,7 +96,11 @@ def evaluate_folders(
     for folder_i, (res_dir, tar_dir) in enumerate(zip(result_dirs, target_dirs)):
         result = list_png_in_dir(res_dir)
         target = list_png_in_dir(tar_dir)
-        image_no = len(target)
+        image_no = len(target)  # reference metrics.py:129
+        if len(result) < len(target):
+            print(f"[eval] {res_dir}: {len(result)} frames vs "
+                  f"{len(target)} targets; scoring the overlap")
+            image_no = len(result)
         list_dict: Dict[str, list] = {k: [] for k in keys}
 
         pre_out_grey = pre_tar_grey = None
