@@ -13,6 +13,7 @@ XLA-native:
 """
 
 from tecogan_tpu.parallel.mesh import (
+    init_distributed,
     make_mesh,
     batch_sharding,
     replicated,
@@ -22,6 +23,7 @@ from tecogan_tpu.parallel.dp import DataParallelTrainer
 from tecogan_tpu.parallel.spatial import spatial_streaming_fn
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "batch_sharding",
     "replicated",

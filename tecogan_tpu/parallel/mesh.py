@@ -40,5 +40,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Device-put a host batch with the leading dim sharded over ``axis``."""
-    return jax.device_put(batch, batch_sharding(mesh, axis))
+    """Make a global batch with the leading dim sharded over ``axis``.
+
+    Single-process: a plain sharded device_put. Multi-process (after
+    :func:`init_distributed`): ``batch`` is this process's LOCAL shard —
+    each host loads its own slice of the global batch (the loader's
+    per-host file sharding), and the global array is assembled from the
+    process-local data without any cross-host copy.
+    """
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            batch,
+        )
+    return jax.device_put(batch, sharding)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host setup (SURVEY.md §2.3: ``jax.distributed.initialize`` +
+    mesh; collectives ride ICI within a slice and DCN across slices).
+
+    On single-host runs (or TPU environments where JAX auto-detects the
+    topology) every argument may be omitted. Returns the process count.
+    """
+    if jax.process_count() == 1 and (
+        coordinator_address or num_processes or process_id is not None
+    ):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_count()
