@@ -188,9 +188,17 @@ class BatchLoader:
         num_threads: Optional[int] = None,
         prefetch: Optional[int] = None,
         executor: str = "python",
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_id``/``num_shards``: per-host sharding for multi-host
+        training — each host samples a disjoint stride of the example index
+        space (SURVEY.md §2.3 "per-host sharded file lists") and produces
+        its process-local slice of the global batch."""
         cfg = dataset.config
         self.dataset = dataset
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.batch_size = batch_size or cfg.batch_size
         self.seed = cfg.rand_seed if seed is None else seed
         self.num_threads = num_threads or max(1, cfg.queue_thread)
@@ -212,17 +220,18 @@ class BatchLoader:
 
     # --------------------------------------------------------------- iter
     def _producer(self):
-        rng = np.random.RandomState(self.seed)
+        rng = np.random.RandomState(self.seed + self.shard_id)
         pool = ThreadPoolExecutor(max_workers=self.num_threads)
-        n = len(self.dataset)
-        perm = rng.permutation(n)
+        indices = np.arange(len(self.dataset))[self.shard_id :: self.num_shards]
+        n = len(indices)
+        perm = indices[rng.permutation(n)]
         cursor = 0
         try:
             while not self._stop.is_set():
                 idxs = []
                 for _ in range(self.batch_size):
                     if cursor >= n:
-                        perm = rng.permutation(n)
+                        perm = indices[rng.permutation(n)]
                         cursor = 0
                     idxs.append(int(perm[cursor]))
                     cursor += 1
