@@ -117,11 +117,15 @@ def train(
         state = warm_start(state, pre_trained_dir)
         print(f"Warm-started weights from {pre_trained_dir}")
 
+    # Per-host data sharding: each process loads a disjoint stride of the
+    # example index space and its process-local slice of the global batch.
+    shard_kw = dict(shard_id=jax.process_index(),
+                    num_shards=jax.process_count())
     dataset = SceneDataset(config, validation=False)
-    loader = BatchLoader(dataset)
+    loader = BatchLoader(dataset, **shard_kw)
     try:
         val_loader = BatchLoader(SceneDataset(config, validation=True),
-                                 seed=config.rand_seed + 1)
+                                 seed=config.rand_seed + 1, **shard_kw)
     except FileNotFoundError:
         val_loader = None
     print(f"Dataset: {len(dataset.scenes)} scenes, {len(dataset)} windows, "
