@@ -16,7 +16,10 @@ included) is still reported as ``host_io_fps`` for transparency.
 
 `vs_baseline` divides by REF_GPU_FPS, the working estimate for the TF1
 single-GPU reference on this workload (the repo publishes no numbers,
-BASELINE.md). North star: vs_baseline >= 10 (BASELINE.json).
+BASELINE.md) — hence ``vs_baseline_estimated: true``. The hardware-absolute
+numbers that need no estimate are also emitted: ``model_gflops_per_frame``
+(XLA cost analysis of the per-frame step), ``achieved_tflops`` and ``mfu``
+(vs the v5e bf16 peak). North star: vs_baseline >= 10 (BASELINE.json).
 
 Prints ONE JSON line.
 """
@@ -29,9 +32,12 @@ import os
 import numpy as np
 
 REF_GPU_FPS = 10.0  # assumed TF1-GPU reference on Vid4 calendar (BASELINE.md)
+V5E_PEAK_BF16_TFLOPS = 197.0  # per-chip bf16 systolic peak (public v5e spec)
 
 FRAMES, H, W = 41, 144, 180
 WARMUP = 5
+
+
 
 
 def main() -> None:
@@ -60,8 +66,31 @@ def main() -> None:
 
     device_fps = sr.device_fps(frames, reps=5)
 
-    # Aggregate throughput over 4 concurrent streams (multi-stream serving;
-    # no reference analog — the reference is strictly single-stream).
+    # Hardware-absolute accounting: XLA's own FLOP count for one recurrent
+    # frame step (fnet -> flow upscale -> warp -> generator), batch 1.
+    try:
+        from tecogan_tpu.recurrent.step import frame_step, init_state
+
+        def one_frame(gp, fp, state, lr):
+            return frame_step(generator.apply, fnet.apply, gp, fp, state, lr)
+
+        st = init_state(1, H, W, jnp.dtype(dtype))
+        lr1 = jnp.zeros((1, H, W, 3), jnp.dtype(dtype))
+        cost = jax.jit(one_frame).lower(
+            gen_params, fnet_params, st, lr1).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        gflops_per_frame = float(cost.get("flops", 0.0)) / 1e9
+    except Exception:
+        gflops_per_frame = -1.0
+    achieved_tflops = device_fps * gflops_per_frame / 1e3 if gflops_per_frame > 0 else -1.0
+    mfu = achieved_tflops / V5E_PEAK_BF16_TFLOPS if achieved_tflops > 0 else -1.0
+
+    # Aggregate throughput over 4/8 concurrent streams (multi-stream serving;
+    # no reference analog — the reference is strictly single-stream). The chip
+    # saturates near single-stream throughput: warp is gather-index-rate-bound
+    # (scales linearly with B) and the generator reaches its K=576/N=64 conv
+    # ceiling by B=4 — see BASELINE.md "multi-stream saturation".
     # Secondary measurements must never sink the headline metric.
     try:
         streams = np.stack([frames] * 4)
@@ -69,6 +98,12 @@ def main() -> None:
         multi_fps = sr4.device_fps_batched(streams, reps=3)
     except Exception:
         multi_fps = -1.0
+    try:
+        streams8 = np.stack([frames] * 8)
+        sr8 = StreamingSR(cfg, gen_params, fnet_params, output="uint8")
+        multi_fps8 = sr8.device_fps_batched(streams8, reps=3)
+    except Exception:
+        multi_fps8 = -1.0
 
     # End-to-end: host float32 in -> device -> uint8 out, transfers included.
     try:
@@ -86,8 +121,13 @@ def main() -> None:
         "value": round(device_fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(device_fps / REF_GPU_FPS, 2),
+        "vs_baseline_estimated": True,  # REF_GPU_FPS is assumed (BASELINE.md)
+        "model_gflops_per_frame": round(gflops_per_frame, 1),
+        "achieved_tflops": round(achieved_tflops, 2),
+        "mfu": round(mfu, 4),
         "host_io_fps": round(host_fps, 1),
         "multi_stream_fps": round(multi_fps, 1),
+        "multi_stream_fps_b8": round(multi_fps8, 1),
         "dtype": dtype,
     }))
 

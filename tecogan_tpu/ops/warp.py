@@ -25,6 +25,17 @@ gather's scatter-add transpose and the rolls' inverse rolls.
 
 :func:`dense_image_warp_reference` keeps the direct 4-gather form as the
 parity oracle for tests.
+
+Batched warps (multi-stream serving, round 2 measurements at B=4, 576x720
+bf16 on v5e): the per-image ``lax.map`` below is the measured optimum — one
+batched gather over the (B, H*W, 4C) operand takes 14.9 ms vs 6.5 ms for the
+map (the 40 MB batched working set falls off the gather cache cliff), a
+flattened single gather 14.0 ms, and every batched 2D-blocked variant
+(288x360 / 144x360 / 144x180 / 96x720 / 192x720 tiles, halo 97) 14.2-21.7 ms.
+Gather flags are also a wash: ``PROMISE_IN_BOUNDS`` and
+``indices_are_sorted=True`` were within noise of ``take_along_axis``. TPU
+gather is index-rate-bound at ~4-6 ns/index regardless, so batched warp cost
+scales ~linearly with B — the serial map loses nothing.
 """
 
 from __future__ import annotations

@@ -41,6 +41,11 @@ from tecogan_tpu.recurrent.step import (
 
 WARMUP_FRAMES = 5  # reference dataloader.py:42-44
 
+# Max chunks whose HR outputs may be simultaneously resident in HBM during
+# streaming (chunk k fetches while chunk k+1 computes). 2 = full
+# compute/transfer overlap with O(chunk) device memory.
+_MAX_IN_FLIGHT = 2
+
 
 def prepend_warmup(frames: List) -> List:
     """Prepend reversed frames [5..1] (reference dataloader.py:42-44)."""
@@ -173,9 +178,13 @@ class StreamingSR:
 
         state = init_state(1, h, w, self.dtype)
         t0 = time.perf_counter()
-        # Dispatch all chunks first (async), then fetch: host downloads of
-        # chunk k overlap device compute of chunks k+1...
-        pending = []
+        # Pipelined with bounded depth: keep at most _MAX_IN_FLIGHT chunks'
+        # HR outputs resident in HBM (fetch chunk k while k+1 computes).
+        # Dispatching the whole sequence first would hold O(T) HR frames on
+        # device — ~12 GB for 120 frames of 2160p float32, an OOM at the
+        # advertised long-sequence scale.
+        pending: List = []
+        outs = []
         for s in range(0, t, chunk):
             piece = frames[s : s + chunk]
             n = piece.shape[0]
@@ -186,7 +195,10 @@ class StreamingSR:
             lr = jnp.asarray(piece[:, None], self.dtype)  # (T, 1, h, w, 3)
             state, hr = self._chunk_fn(self.gen_params, self.fnet_params, state, lr)
             pending.append((hr, n))
-        outs = [np.asarray(jax.device_get(hr))[:n, 0] for hr, n in pending]
+            if len(pending) >= _MAX_IN_FLIGHT:
+                ph, pn = pending.pop(0)
+                outs.append(np.asarray(jax.device_get(ph))[:pn, 0])
+        outs.extend(np.asarray(jax.device_get(hr))[:n, 0] for hr, n in pending)
         elapsed = time.perf_counter() - t0
         hrs = np.concatenate(outs, axis=0)
         return hrs[warmup:], elapsed
@@ -215,7 +227,14 @@ class StreamingSR:
             self._chunk_fn = self._build_chunk_fn()
         state = init_state(bsz, h, w, self.dtype)
         t0 = time.perf_counter()
-        pending = []
+        # Bounded pipeline depth — same rationale as :meth:`run`.
+        pending: List = []
+        outs = []
+
+        def fetch(item):
+            hr, n = item
+            return np.asarray(jax.device_get(hr))[:n].transpose(1, 0, 2, 3, 4)
+
         for s in range(0, t, chunk):
             piece = frames[:, s : s + chunk]
             n = piece.shape[1]
@@ -226,10 +245,9 @@ class StreamingSR:
             lr = jnp.asarray(piece.transpose(1, 0, 2, 3, 4), self.dtype)
             state, hr = self._chunk_fn(self.gen_params, self.fnet_params, state, lr)
             pending.append((hr, n))
-        outs = [
-            np.asarray(jax.device_get(hr))[:n].transpose(1, 0, 2, 3, 4)
-            for hr, n in pending
-        ]
+            if len(pending) >= _MAX_IN_FLIGHT:
+                outs.append(fetch(pending.pop(0)))
+        outs.extend(fetch(item) for item in pending)
         elapsed = time.perf_counter() - t0
         hrs = np.concatenate(outs, axis=1)
         return hrs[:, warmup:], elapsed
