@@ -105,14 +105,25 @@ def assemble_dst_inputs(
     config: TecoConfig,
     flow_hr_back: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Build the 27-channel real/fake Dst inputs.
+    """Build the real/fake temporal-discriminator inputs.
 
     Frames are grouped in consecutive triplets (t-1, t, t+1); each triplet
     member is warped toward the middle frame (forward flow, zero, backward
     flow — backward reused from the ping-pong extension, reference
-    Teco.py:206-209), the warped stack is center-cropped by ``crop_dt`` and
-    zero-padded back, and concatenated with the unwarped triplet and the
-    bilinear-upscaled LR triplet.
+    Teco.py:206-209).
+
+    With ``config.dt_mergeDs`` (the published spatio-temporal Dst,
+    reference Teco.py:233-244): the warped stack is center-cropped by
+    ``crop_dt`` and zero-padded back, then concatenated with the unwarped
+    triplet and the bilinear-upscaled LR triplet — 27 channels at (4h, 4w).
+
+    Without it (the pure temporal Dt of the TecoGAN supplemental): only the
+    warped 9-channel triplet, center-CROPPED to the ``crop_dt`` box and NOT
+    re-padded (reference Teco.py:230-231,265-266 — the crop shrinks the D's
+    spatial extent). Note the reference's own code on this branch is broken
+    TF (``discriminator_F`` returns a (net, layers) tuple consumed as a
+    tensor at Teco.py:266, and ``real_layers`` is unbound under D_LAYERLOSS,
+    Teco.py:292); this implements the documented intent.
 
     Under ``config.pingpong`` the backward flows are reused from the extended
     sequence (reference Teco.py:206-209); otherwise the caller must pass
@@ -120,7 +131,8 @@ def assemble_dst_inputs(
     reversed middle/next frame pairs (reference Teco.py:190-203).
 
     Returns:
-      (real_27ch, fake_27ch), each (B * T//3, 4h, 4w, 27).
+      (real, fake): each (B * T//3, 4h, 4w, 27) for Dst, or
+      (B * T//3, crop_dt_box, crop_dt_box, 9) for pure Dt.
     """
     b, t, hr_h, hr_w, c = r_targets.shape
     t_size = 3 * (t // 3)
@@ -151,14 +163,21 @@ def assemble_dst_inputs(
     t_vel = t_vel.reshape(b * t_size, hr_h, hr_w, 2)
     t_vel = jax.lax.stop_gradient(t_vel)  # no D gradient into fnet (Teco.py:214)
 
+    # crop_dt box geometry (reference Teco.py:216-219).
+    crop = int(hr_h * config.crop_dt)
+    off = (hr_h - crop) // 2
+    crop = hr_h - 2 * off
+
     def build(frames_flat: jnp.ndarray) -> jnp.ndarray:
         warped = dense_image_warp(frames_flat, t_vel)
         warped9 = _triplet_channels(warped, t_batch, hr_h, hr_w, c)
+        if not config.dt_mergeDs:
+            # Pure Dt: crop without re-padding (Teco.py:230-231,265-266).
+            if config.crop_dt < 1.0:
+                warped9 = warped9[:, off : off + crop, off : off + crop, :]
+            return None, warped9
         if config.crop_dt < 1.0:
             # Center crop then zero-pad back (reference Teco.py:216-220,230-234).
-            crop = int(hr_h * config.crop_dt)
-            off = (hr_h - crop) // 2
-            crop = hr_h - 2 * off
             mask = jnp.zeros((1, hr_h, hr_w, 1), frames_flat.dtype)
             mask = mask.at[:, off : off + crop, off : off + crop, :].set(1.0)
             warped9 = warped9 * mask
@@ -167,6 +186,8 @@ def assemble_dst_inputs(
 
     before_r, warped_r = build(t_targets)
     before_f, warped_f = build(t_gen)
+    if not config.dt_mergeDs:
+        return warped_r, warped_f
 
     # Bilinear-upscaled LR triplet, shared by real and fake (Teco.py:240-244).
     lr_h, lr_w = r_inputs.shape[2], r_inputs.shape[3]

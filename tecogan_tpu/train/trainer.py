@@ -125,6 +125,15 @@ class Trainer:
             )
         self.vgg_params = vgg_params
         self.vgg = VGG19Features(dtype=dtype) if self.use_vgg else None
+        if config.gan and not config.dt_mergeDs and config.d_layerloss:
+            # The reference's own pure-Dt branch never defines real_layers,
+            # so D_LAYERLOSS there is a NameError (Teco.py:265-266,288-292);
+            # the combination has no defined semantics to reproduce.
+            raise ValueError(
+                "dt_mergeDs=False (pure temporal Dt) requires "
+                "d_layerloss=False (reference Teco.py:265-292 defines no "
+                "layer features on this branch)"
+            )
         self.discriminator = Discriminator(dtype=dtype) if config.gan else None
 
         schedule = lr_schedule(config)
@@ -161,9 +170,17 @@ class Trainer:
             },
         )
         if cfg.gan:
-            d_ch = 27 if cfg.dt_mergeDs else 9
+            if cfg.dt_mergeDs:
+                d_ch, d_hw = 27, 4 * h
+            else:
+                # Pure Dt sees the cropped (not re-padded) 9ch warped triplet
+                # (reference Teco.py:230-231,265-266).
+                d_ch = 9
+                crop = int(4 * h * cfg.crop_dt)
+                off = (4 * h - crop) // 2
+                d_hw = 4 * h - 2 * off
             d_vars = self.discriminator.init(
-                k_d, jnp.zeros((1, 4 * h, 4 * w, d_ch))
+                k_d, jnp.zeros((1, d_hw, d_hw, d_ch))
             )
             state.update(
                 d_params=d_vars["params"],
@@ -189,6 +206,7 @@ class Trainer:
                 "t_discrim_loss",
                 "t_discrim_real_output",
                 "t_discrim_fake_output",
+                "Dst_ratio",  # EMA'd like the reference update_list_avg
             ]
             if cfg.d_layerloss:
                 keys += [f"D_layer_{i}_loss" for i in range(4)]
@@ -269,6 +287,7 @@ class Trainer:
             )
             gen_loss = gen_loss + cfg.ratio * adv * dt_ratio
             metrics["t_adversarial_loss"] = adv
+            metrics["Dst_ratio"] = dt_ratio  # reference Teco.py:451-452
             metrics["t_discrim_real_output"] = jnp.mean(d_real)
             metrics["t_discrim_fake_output"] = jnp.mean(d_fake)
 
@@ -410,16 +429,22 @@ class Trainer:
 
     def _generate_impl(self, state: TrainState, hr_seq: jnp.ndarray):
         """Forward-only generation for summaries (reference gif_summary
-        inputs, Teco.py:498-503): returns (r_inputs, targets01, gen01)."""
+        inputs, Teco.py:498-503): returns (r_inputs, targets01, gen01,
+        warppre01 — the warped previous outputs, 'WarpPreGen')."""
         cfg = self.config
         r_inputs, r_targets = prepare_batch(hr_seq, cfg)
         flow_lr, flow_hr = flows_for_sequence(
             self.fnet.apply, state.fnet_params, r_inputs)
-        gen_outputs, _ = unroll_generator(
+        gen_outputs, gen_warppre = unroll_generator(
             self.generator.apply, state.gen_params, r_inputs, flow_hr,
             remat=False,
         )
-        return r_inputs, (r_targets + 1) / 2, (gen_outputs + 1) / 2
+        return (
+            r_inputs,
+            (r_targets + 1) / 2,
+            (gen_outputs + 1) / 2,
+            (gen_warppre + 1) / 2,
+        )
 
     # --------------------------------------------------------------- public
     def train_step(self, state: TrainState, hr_seq) -> Tuple[TrainState, Dict]:

@@ -200,3 +200,49 @@ def test_pingpong_backward_flow_slice_matches_reference(rng):
     # instead check shapes only here; numeric equivalence covered above.
     real, fake = assemble_dst_inputs(r_inputs, r_targets, gen, flow, cfg)
     assert real.shape == (1, 4 * h, 4 * w, 27)
+
+
+def test_pure_dt_mode_train_step(rng):
+    """dt_mergeDs=False: 9ch cropped (not re-padded) Dt input, 0.3x D LR
+    (reference Teco.py:230-231,265-266,423-424; the reference's own branch is
+    broken TF — this pins the documented intent)."""
+    cfg = tiny_cfg(ratio=0.01, pingpong=True, pp_scaling=0.5,
+                   dt_mergeDs=False, d_layerloss=False, crop_dt=0.75)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    # D input stage must be built for 9 channels.
+    k = state.d_params["input_stage_conv"]["kernel"]
+    assert k.shape[2] == 9, k.shape
+
+    batch = make_batch(cfg, rng)
+
+    # The assembled Dt inputs are spatially cropped, not re-padded.
+    # (Checked before train_step: the step donates its input state.)
+    from tecogan_tpu.train.losses import assemble_dst_inputs
+    from tecogan_tpu.recurrent.step import extend_pingpong, flows_for_sequence
+    from tecogan_tpu.train.trainer import prepare_batch
+    r_inputs, r_targets = prepare_batch(batch, cfg)
+    r_inputs = extend_pingpong(r_inputs)
+    r_targets = extend_pingpong(r_targets)
+    _, flow_hr = flows_for_sequence(trainer.fnet.apply, state.fnet_params, r_inputs)
+    real, fake = assemble_dst_inputs(
+        r_inputs, r_targets, jnp.zeros_like(r_targets), flow_hr, cfg)
+    hr = 4 * cfg.crop_size
+    crop = int(hr * cfg.crop_dt)
+    off = (hr - crop) // 2
+    box = hr - 2 * off
+    assert real.shape[1:] == (box, box, 9), real.shape
+    assert fake.shape == real.shape
+
+    state2, metrics = trainer.train_step(state, batch)
+    for key in ("t_adversarial_loss", "t_discrim_loss", "All_loss_Gen"):
+        assert np.isfinite(float(metrics[key])), key
+    assert "D_layer_loss_sum" not in metrics
+    assert int(state2.counter_with_d) == 1
+
+
+def test_pure_dt_rejects_layerloss():
+    with pytest.raises(ValueError, match="d_layerloss"):
+        Trainer(tiny_cfg(ratio=0.01, pingpong=True,
+                         dt_mergeDs=False, d_layerloss=True))
