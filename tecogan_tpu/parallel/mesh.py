@@ -65,13 +65,20 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
     On single-host runs (or TPU environments where JAX auto-detects the
     topology) every argument may be omitted. Returns the process count.
+
+    Must be called before any backend-touching JAX call: the decision to
+    initialize is made from the arguments alone (``jax.process_count()``
+    itself initializes the XLA backend, after which
+    ``jax.distributed.initialize`` raises), and double-initialization is
+    guarded via the distributed client state, not a backend query.
     """
-    if jax.process_count() == 1 and (
-        coordinator_address or num_processes or process_id is not None
-    ):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if coordinator_address or num_processes or process_id is not None:
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is None:  # not yet initialized
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
     return jax.process_count()
