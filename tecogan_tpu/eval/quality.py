@@ -48,9 +48,14 @@ def _y_channel(img: np.ndarray) -> np.ndarray:
 
 
 def psnr(img_true: np.ndarray, img_pred: np.ndarray) -> float:
-    """Y-channel PSNR (reference metrics.py:64-70)."""
+    """Y-channel PSNR (reference metrics.py:64-70).
+
+    Identical images return +inf cleanly (the reference divides by zero and
+    emits a RuntimeWarning on the way to the same inf, metrics.py:70)."""
     diff = _y_channel(img_true) - _y_channel(img_pred)
     rmse = np.sqrt(np.mean(diff**2))
+    if rmse == 0.0:
+        return float("inf")
     return float(20 * np.log10(255.0 / rmse))
 
 

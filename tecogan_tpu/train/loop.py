@@ -51,10 +51,34 @@ def build_trainer(config: TecoConfig, vgg_params=None, use_mesh: bool = True):
     return Trainer(config, vgg_params=vgg_params)
 
 
+# Live test-while-train children; reaped (poll) on each new spawn and at
+# train() exit so long runs never accumulate zombies.
+_twt_procs: list = []
+
+
+def _reap_test_while_train(final: bool = False) -> None:
+    for proc, log_path in list(_twt_procs):
+        rc = proc.poll()
+        if rc is None:
+            if final:  # exiting: orphans reparent to init, which reaps them
+                print(f"test-while-train child pid={proc.pid} still running; "
+                      f"log: {log_path}")
+                _twt_procs.remove((proc, log_path))
+            continue
+        _twt_procs.remove((proc, log_path))
+        if rc != 0:  # surface crashed children (their output is in the log)
+            print(f"test-while-train child exited rc={rc}; log: {log_path}")
+
+
 def _spawn_test_while_train(config: TecoConfig, output_dir: str,
                             ckpt_dir: str) -> Optional[subprocess.Popen]:
     """Fork a detached inference run on the fresh checkpoint
-    (reference testWhileTrain main.py:151-174, detach main.py:148-149)."""
+    (reference testWhileTrain main.py:151-174, detach main.py:148-149).
+
+    Output goes to ``<output_dir>/train/test_while_train.log`` (the reference
+    shows child output inline; a log keeps it visible without interleaving),
+    and previously spawned children are reaped here."""
+    _reap_test_while_train()
     test_dir = config.input_video_dir and os.path.join(
         os.path.dirname(config.input_video_dir), "LR", "calendar"
     )
@@ -72,10 +96,14 @@ def _spawn_test_while_train(config: TecoConfig, output_dir: str,
         "--output_name", "train_out",
         "--max_frames", "10",
     ]
-    return subprocess.Popen(
-        cmd, preexec_fn=os.setpgrp,
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-    )
+    log_path = os.path.join(twt_dir, "test_while_train.log")
+    with open(log_path, "ab") as log:
+        proc = subprocess.Popen(
+            cmd, preexec_fn=os.setpgrp,
+            stdout=log, stderr=subprocess.STDOUT,
+        )
+    _twt_procs.append((proc, log_path))
+    return proc
 
 
 def train(
@@ -183,10 +211,13 @@ def train(
                     # Animated sequence summaries (reference gif_summary of
                     # LR/HR/Generated, Teco.py:498-503).
                     try:
-                        lr_s, hr_s, gen_s = trainer.generate(state, batch)
+                        lr_s, hr_s, gen_s, warppre_s = trainer.generate(
+                            state, batch)
                         for tag, seq in (("InputLR", lr_s),
                                          ("TargetHR", hr_s),
-                                         ("GeneratedHR", gen_s)):
+                                         ("GeneratedHR", gen_s),
+                                         # reference Teco.py:503
+                                         ("WarpPreGen", warppre_s)):
                             logger.gif(step, tag,
                                        np.asarray(jax.device_get(seq)),
                                        max_outputs=1)
@@ -203,4 +234,5 @@ def train(
         if val_loader is not None:
             val_loader.stop()
         logger.close()
+        _reap_test_while_train(final=True)
     return state
