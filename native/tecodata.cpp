@@ -180,6 +180,33 @@ void* td_open(int num_threads) { return new Loader(num_threads); }
 
 void td_close(void* handle) { delete static_cast<Loader*>(handle); }
 
+// Read only the PNG header; returns 0 on success with *h/*w filled. Lets
+// callers allocate exactly h*w*3 before td_decode instead of a worst-case
+// buffer.
+int td_png_dims(const char* path, int* h, int* w) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return 1;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    fclose(fp);
+    return 1;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+  png_uint_32 pw, ph;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &pw, &ph, &bit_depth, &color_type, nullptr, nullptr,
+               nullptr);
+  *h = static_cast<int>(ph);
+  *w = static_cast<int>(pw);
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(fp);
+  return 0;
+}
+
 // Decode one PNG into caller buffer (float32 RGB [0,1]); returns h<<16|w
 // via out params. Returns 0 on success.
 int td_decode(const char* path, float* out, int* h, int* w, int cap) {

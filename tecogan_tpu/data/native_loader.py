@@ -56,6 +56,11 @@ def load_library() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
         ]
+        lib.td_png_dims.restype = ctypes.c_int
+        lib.td_png_dims.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.td_load_batch.restype = ctypes.c_int
         lib.td_load_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
@@ -75,10 +80,25 @@ def native_available() -> bool:
         return False
 
 
-def decode_png(path: str, max_pixels: int = 64 << 20) -> np.ndarray:
-    """Decode one PNG via the native core -> (H, W, 3) float32 [0,1]."""
+def png_dims(path: str) -> tuple:
+    """Read only the PNG header -> (H, W)."""
     lib = load_library()
-    buf = np.empty(max_pixels * 3, np.float32)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.td_png_dims(path.encode(), ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise IOError(f"td_png_dims failed for {path}")
+    return h.value, w.value
+
+
+def decode_png(path: str) -> np.ndarray:
+    """Decode one PNG via the native core -> (H, W, 3) float32 [0,1].
+
+    Reads the header first and allocates exactly h*w*3 (a worst-case
+    preallocation would spike RSS by hundreds of MB per call)."""
+    lib = load_library()
+    hdr_h, hdr_w = png_dims(path)
+    buf = np.empty((hdr_h, hdr_w, 3), np.float32)
     h = ctypes.c_int()
     w = ctypes.c_int()
     rc = lib.td_decode(
@@ -87,7 +107,8 @@ def decode_png(path: str, max_pixels: int = 64 << 20) -> np.ndarray:
     )
     if rc != 0:
         raise IOError(f"td_decode failed ({rc}) for {path}")
-    return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+    assert (h.value, w.value) == (hdr_h, hdr_w)
+    return buf
 
 
 class NativeExecutor:
