@@ -59,6 +59,90 @@ def _farneback(prev_grey: np.ndarray, grey: np.ndarray) -> np.ndarray:
     return cv2.calcOpticalFlowFarneback(prev_grey, grey, None, **FARNEBACK_ARGS)
 
 
+def _score_folder(
+    res_dir: str,
+    tar_dir: str,
+    keys: Sequence[str],
+    lpips_model: Optional[LPIPS],
+    verbose: bool,
+) -> Dict[str, np.ndarray]:
+    """Score one result/target folder pair.
+
+    Returns {key: float32 array of per-frame values} for frames
+    [CUTFR, N-CUTFR); temporal keys (tOF, tLP100) have one fewer entry.
+    The per-frame log line matches the reference's byte-for-byte
+    (reference metrics.py:133-172 protocol).
+    """
+    import cv2
+
+    result = list_png_in_dir(res_dir)
+    target = list_png_in_dir(tar_dir)
+    image_no = len(target)  # reference metrics.py:129
+    if len(result) < len(target):
+        print(f"[eval] {res_dir}: {len(result)} frames vs "
+              f"{len(target)} targets; scoring the overlap")
+        image_no = len(result)
+
+    values: Dict[str, list] = {k: [] for k in keys}
+    # Temporal carries between consecutive frames.
+    prev_grey = None      # (out_grey, tar_grey) for tOF
+    prev_tensors = None   # (tar_tensor, out_tensor) for tLP100
+
+    for i in range(CUTFR, image_no - CUTFR):
+        output_img = cv2.imread(result[i])[:, :, ::-1]
+        target_img = cv2.imread(target[i])[:, :, ::-1]
+        parts = [f"frame {i}", f"tar {target_img.shape}",
+                 f"out {output_img.shape}"]
+        if (target_img.shape[0] < output_img.shape[0]) or (
+            target_img.shape[1] < output_img.shape[1]
+        ):  # target not divisible by 4 (reference metrics.py:139-140)
+            output_img = output_img[: target_img.shape[0], : target_img.shape[1]]
+
+        if "tOF" in keys:
+            greys = (
+                cv2.cvtColor(output_img, cv2.COLOR_RGB2GRAY),
+                cv2.cvtColor(target_img, cv2.COLOR_RGB2GRAY),
+            )
+            if prev_grey is not None:
+                output_of = _farneback(prev_grey[0], greys[0])
+                target_of = _farneback(prev_grey[1], greys[1])
+                of_diff = crop_8x8(target_of)[0] - crop_8x8(output_of)[0]
+                tof = np.sqrt(np.sum(np.square(of_diff), axis=-1)).mean()
+                values["tOF"].append(tof)
+                parts.append("tOF %02.2f" % tof)
+            prev_grey = greys
+
+        target_img, ofy, ofx = crop_8x8(target_img)
+        output_img, ofy, ofx = crop_8x8(output_img)
+
+        if "PSNR" in keys:
+            values["PSNR"].append(psnr(target_img, output_img))
+            parts.append("psnr %02.2f" % values["PSNR"][-1])
+        if "SSIM" in keys:
+            values["SSIM"].append(ssim(target_img, output_img))
+            parts.append("ssim %02.2f" % values["SSIM"][-1])
+
+        if "LPIPS" in keys or "tLP100" in keys:
+            tensors = (LPIPS.im2tensor(target_img), LPIPS.im2tensor(output_img))
+            if "LPIPS" in keys:
+                d01 = lpips_model(*tensors)
+                values["LPIPS"].append(float(d01[0]))
+                parts.append("lpips %02.2f" % d01[0])
+            if "tLP100" in keys and prev_tensors is not None:
+                d_tar = lpips_model(prev_tensors[0], tensors[0])
+                d_out = lpips_model(prev_tensors[1], tensors[1])
+                tlp = np.absolute(d_tar - d_out) * 100.0
+                values["tLP100"].append(float(tlp[0]))
+                parts.append("tLPx100 %02.2f" % tlp[0])
+            prev_tensors = tensors
+
+        parts.append("crop (%d, %d)" % (ofy, ofx))
+        if verbose:
+            print(", ".join(parts))
+
+    return {k: np.float32(v) for k, v in values.items()}
+
+
 def evaluate_folders(
     result_dirs: Sequence[str],
     target_dirs: Sequence[str],
@@ -69,6 +153,11 @@ def evaluate_folders(
 ) -> Dict[str, float]:
     """Score each result folder against its target folder; write metrics.csv.
 
+    The CSV layout and stdout lines are byte-compatible with the reference
+    harness (reference metrics.py:109-240): one per-frame column block per
+    folder (``<KEY>_<idx>``), then ``Avg_*`` / ``FolderAvg_*`` /
+    ``FrameAvg_*`` summary blocks.
+
     Args:
       keys: subset of ["PSNR", "SSIM", "LPIPS", "tOF", "tLP100"]. LPIPS keys
         are dropped automatically when ``lpips_model`` is None.
@@ -76,8 +165,6 @@ def evaluate_folders(
     Returns:
       {"FrameAvg_<key>": value} overall averages (reference metrics.py:231-236).
     """
-    import cv2
-
     keys = list(keys or ["PSNR", "SSIM", "LPIPS", "tOF", "tLP100"])
     if lpips_model is None:
         dropped = [k for k in keys if k in ("LPIPS", "tLP100")]
@@ -88,112 +175,55 @@ def evaluate_folders(
     os.makedirs(output_dir, exist_ok=True)
     csv_path = os.path.join(output_dir, "metrics.csv")
 
-    sum_dict = {"FrameAvg_" + k: 0.0 for k in keys}
-    len_dict = {k: 0 for k in keys}
-    avg_dict: Dict[str, list] = {"Avg_" + k: [] for k in keys}
-    folder_dict = {"FolderAvg_" + k: 0.0 for k in keys}
-
+    # Per-folder value arrays, in folder order; summaries derive from this.
+    folder_values: List[Dict[str, np.ndarray]] = []
     for folder_i, (res_dir, tar_dir) in enumerate(zip(result_dirs, target_dirs)):
-        result = list_png_in_dir(res_dir)
-        target = list_png_in_dir(tar_dir)
-        image_no = len(target)  # reference metrics.py:129
-        if len(result) < len(target):
-            print(f"[eval] {res_dir}: {len(result)} frames vs "
-                  f"{len(target)} targets; scoring the overlap")
-            image_no = len(result)
-        list_dict: Dict[str, list] = {k: [] for k in keys}
-
-        pre_out_grey = pre_tar_grey = None
-        pre_img0 = pre_img1 = None
-        for i in range(CUTFR, image_no - CUTFR):
-            output_img = cv2.imread(result[i])[:, :, ::-1]
-            target_img = cv2.imread(target[i])[:, :, ::-1]
-            msg = f"frame {i}, tar {target_img.shape}, out {output_img.shape}, "
-            if (target_img.shape[0] < output_img.shape[0]) or (
-                target_img.shape[1] < output_img.shape[1]
-            ):  # target not divisible by 4 (reference metrics.py:139-140)
-                output_img = output_img[: target_img.shape[0], : target_img.shape[1]]
-
-            if "tOF" in keys:
-                output_grey = cv2.cvtColor(output_img, cv2.COLOR_RGB2GRAY)
-                target_grey = cv2.cvtColor(target_img, cv2.COLOR_RGB2GRAY)
-                if i > CUTFR:
-                    target_of = _farneback(pre_tar_grey, target_grey)
-                    output_of = _farneback(pre_out_grey, output_grey)
-                    target_of, _, _ = crop_8x8(target_of)
-                    output_of, _, _ = crop_8x8(output_of)
-                    of_diff = np.absolute(target_of - output_of)
-                    of_diff = np.sqrt(np.sum(of_diff * of_diff, axis=-1))
-                    list_dict["tOF"].append(of_diff.mean())
-                    msg += "tOF %02.2f, " % list_dict["tOF"][-1]
-                pre_out_grey, pre_tar_grey = output_grey, target_grey
-
-            target_img, ofy, ofx = crop_8x8(target_img)
-            output_img, ofy, ofx = crop_8x8(output_img)
-
-            if "PSNR" in keys:
-                list_dict["PSNR"].append(psnr(target_img, output_img))
-                msg += "psnr %02.2f" % list_dict["PSNR"][-1]
-            if "SSIM" in keys:
-                list_dict["SSIM"].append(ssim(target_img, output_img))
-                msg += ", ssim %02.2f" % list_dict["SSIM"][-1]
-
-            if "LPIPS" in keys or "tLP100" in keys:
-                img0 = LPIPS.im2tensor(target_img)
-                img1 = LPIPS.im2tensor(output_img)
-                if "LPIPS" in keys:
-                    d01 = lpips_model(img0, img1)
-                    list_dict["LPIPS"].append(float(d01[0]))
-                    msg += ", lpips %02.2f" % d01[0]
-                if "tLP100" in keys and i > CUTFR:
-                    d0t = lpips_model(pre_img0, img0)
-                    d1t = lpips_model(pre_img1, img1)
-                    d01t = np.absolute(d0t - d1t) * 100.0
-                    list_dict["tLP100"].append(float(d01t[0]))
-                    msg += ", tLPx100 %02.2f" % d01t[0]
-                pre_img0, pre_img1 = img0, img1
-
-            msg += ", crop (%d, %d)" % (ofy, ofx)
-            if verbose:
-                print(msg)
-
-        mode = "w" if folder_i == 0 else "a"
-        pd_dict = {}
+        vals = _score_folder(res_dir, tar_dir, keys, lpips_model, verbose)
+        folder_values.append(vals)
+        block = {}
         for key in keys:
             col = f"{key}_%02d" % folder_i
-            cur = np.float32(list_dict[key])
-            pd_dict[col] = pd.Series(cur)
-            mean = cur.sum() / cur.shape[0]
+            cur = vals[key]
+            block[col] = pd.Series(cur)
             if verbose:
                 print("%s, max %02.4f, min %02.4f, avg %02.4f"
-                      % (col, cur.max(), cur.min(), mean))
-            avg_dict["Avg_" + key].append(mean)
-            sum_dict["FrameAvg_" + key] += cur.sum()
-            len_dict[key] += cur.shape[0]
-            folder_dict["FolderAvg_" + key] += mean
-        pd.DataFrame(pd_dict).to_csv(csv_path, mode=mode)
+                      % (col, cur.max(), cur.min(), cur.sum() / cur.shape[0]))
+        # First folder starts the file; later blocks append (each block
+        # carries its own header + index, the reference's csv shape).
+        pd.DataFrame(block).to_csv(csv_path, mode="w" if folder_i == 0 else "a")
 
-    folder_n = len(result_dirs)
-    overall = {}
-    for key in keys:
-        sum_dict["FrameAvg_" + key] = pd.Series(
-            [sum_dict["FrameAvg_" + key] / len_dict[key]]
-        )
-        folder_dict["FolderAvg_" + key] = pd.Series(
-            [folder_dict["FolderAvg_" + key] / folder_n]
-        )
-        avg_dict["Avg_" + key] = pd.Series(np.float32(avg_dict["Avg_" + key]))
-        overall["FrameAvg_" + key] = float(sum_dict["FrameAvg_" + key][0])
-        if verbose:
+    # Summary statistics. Accumulation mirrors the reference numerically:
+    # everything stays float32 (python-float starts are weak under NEP 50),
+    # left-to-right in folder order.
+    folder_means = {
+        k: [v[k].sum() / v[k].shape[0] for v in folder_values] for k in keys
+    }
+    total_frames = {k: sum(v[k].shape[0] for v in folder_values) for k in keys}
+    frame_avg = {
+        k: sum((v[k].sum() for v in folder_values), 0.0) / total_frames[k]
+        for k in keys
+    }
+    folder_avg = {
+        k: sum(folder_means[k], 0.0) / len(result_dirs) for k in keys
+    }
+
+    if verbose:
+        for key in keys:
             print("%s, total frame %d, total avg %02.4f, folder avg %02.4f"
-                  % (key, len_dict[key], sum_dict["FrameAvg_" + key][0],
-                     folder_dict["FolderAvg_" + key][0]))
-    pd.DataFrame(avg_dict).to_csv(csv_path, mode="a")
-    pd.DataFrame(folder_dict).to_csv(csv_path, mode="a")
-    pd.DataFrame(sum_dict).to_csv(csv_path, mode="a")
+                  % (key, total_frames[key], frame_avg[key], folder_avg[key]))
+
+    pd.DataFrame(
+        {"Avg_" + k: pd.Series(np.float32(folder_means[k])) for k in keys}
+    ).to_csv(csv_path, mode="a")
+    pd.DataFrame(
+        {"FolderAvg_" + k: pd.Series([folder_avg[k]]) for k in keys}
+    ).to_csv(csv_path, mode="a")
+    pd.DataFrame(
+        {"FrameAvg_" + k: pd.Series([frame_avg[k]]) for k in keys}
+    ).to_csv(csv_path, mode="a")
     if verbose:
         print("Finished.")
-    return overall
+    return {"FrameAvg_" + k: float(frame_avg[k]) for k in keys}
 
 
 def default_lpips(reference_root: str = "/root/reference",
