@@ -129,8 +129,15 @@ def convert_tf_npz(npz_path: str, num_resblock: int = 16) -> Dict[str, Any]:
         np.savez(out, **{name: reader.get_tensor(name)
                          for name in reader.get_variable_to_shape_map()})
 
-    Returns dict with 'generator' and 'fnet' param trees (and 'discriminator'
-    when present).
+    Returns dict with 'generator' and 'fnet' param trees (plus
+    'discriminator'/'discriminator_batch_stats' and 'global_step' when
+    present).
+
+    Training checkpoints additionally carry Adam slot variables
+    (``<var>/Adam``, ``<var>/Adam_1``), ``beta1_power``/``beta2_power`` and
+    loss-EMA shadows (``.../ExponentialMovingAverage``) — all ignored here:
+    weight-porting seeds fresh optimizers (reference main.py:312-320 does
+    the same for warm starts).
     """
     data = dict(np.load(npz_path))
 
@@ -207,6 +214,8 @@ def convert_tf_npz(npz_path: str, num_resblock: int = 16) -> Dict[str, Any]:
         }
         out["discriminator"] = disc
         out["discriminator_batch_stats"] = stats
+    if "global_step" in data:
+        out["global_step"] = int(data["global_step"])
     return out
 
 

@@ -147,3 +147,96 @@ def test_convert_tf_npz(tmp_path):
     assert out.shape == (1, 32, 32, 3)
     flow = fnet.apply({"params": converted["fnet"]}, jnp.zeros((1, 8, 8, 6)))
     assert flow.shape == (1, 8, 8, 2)
+
+
+def test_convert_tf_npz_full_inventory(tmp_path):
+    """Converter vs the *real* checkpoint variable set: 16 resblocks,
+    discriminator (incl. BatchNorm stats), Adam slot variables for every
+    trainable var, beta powers, loss-EMA shadows and global_step
+    (reference frvsr.py:26-80, Teco.py:44-71, main.py:307-309 — the Saver
+    persists all GLOBAL_VARIABLES). Weight-porting must ignore the
+    optimizer/EMA extras and land every model var."""
+    rng = np.random.RandomState(1)
+    data = {}
+
+    def add(name, shape):
+        data[name] = rng.randn(*shape).astype(np.float32)
+        # Adam slot variables as saved by a training checkpoint.
+        data[name + "/Adam"] = np.zeros(shape, np.float32)
+        data[name + "/Adam_1"] = np.zeros(shape, np.float32)
+
+    def add_conv(scope, cin, cout, k=3, bias=True):
+        add(f"{scope}/Conv/weights", (k, k, cin, cout))
+        if bias:
+            add(f"{scope}/Conv/biases", (cout,))
+
+    g = "generator/generator_unit"
+    add_conv(f"{g}/input_stage/conv", 51, 64)
+    for i in range(1, 17):
+        add_conv(f"{g}/resblock_{i}/conv_1", 64, 64)
+        add_conv(f"{g}/resblock_{i}/conv_2", 64, 64)
+    for t in ("conv_tran1", "conv_tran2"):
+        add(f"{g}/conv_tran2highres/{t}/Conv2d_transpose/weights", (3, 3, 64, 64))
+        add(f"{g}/conv_tran2highres/{t}/Conv2d_transpose/biases", (64,))
+    add_conv(f"{g}/output_stage/conv", 64, 3)
+
+    f = "fnet/autoencode_unit"
+    enc_ch = [(6, 32), (32, 64), (64, 128)]
+    dec_ch = [(128, 256), (256, 128), (128, 64)]
+    for i in (1, 2, 3):
+        ci, co = enc_ch[i - 1]
+        add_conv(f"{f}/encoder_{i}/conv_1", ci, co)
+        add_conv(f"{f}/encoder_{i}/conv_2", co, co)
+        ci, co = dec_ch[i - 1]
+        add_conv(f"{f}/decoder_{i}/conv_1", ci, co)
+        add_conv(f"{f}/decoder_{i}/conv_2", co, co)
+    add_conv(f"{f}/output_stage/conv1", 64, 32)
+    add_conv(f"{f}/output_stage/conv2", 32, 2)
+
+    d = "tdiscriminator/discriminator_unit"
+    add_conv(f"{d}/input_stage/conv", 27, 64)
+    for idx, (ci, co) in zip((1, 3, 5, 7), [(64, 64), (64, 64), (64, 128), (128, 256)]):
+        add(f"{d}/disblock_{idx}/conv1/Conv/weights", (4, 4, ci, co))
+        add(f"{d}/disblock_{idx}/BatchNorm/beta", (co,))
+        # moving stats are saved but have no Adam slots
+        data[f"{d}/disblock_{idx}/BatchNorm/moving_mean"] = np.zeros(co, np.float32)
+        data[f"{d}/disblock_{idx}/BatchNorm/moving_variance"] = np.ones(co, np.float32)
+    add(f"{d}/dense_layer_2/dense/kernel", (256, 1))
+    add(f"{d}/dense_layer_2/dense/bias", (1,))
+
+    # Optimizer/bookkeeping extras present in every training checkpoint.
+    data["global_step"] = np.int64(913000)
+    for scope in ("generator_optimizer", "fnet_optimizer", "tdiscriminator_optimizer"):
+        data[f"{scope}/beta1_power"] = np.float32(0.9)
+        data[f"{scope}/beta2_power"] = np.float32(0.999)
+    data["l2_content_loss/ExponentialMovingAverage"] = np.float32(0.1)
+    data["t_balance/ExponentialMovingAverage"] = np.float32(0.2)
+
+    path = str(tmp_path / "tf_full.npz")
+    np.savez(path, **data)
+    converted = convert_tf_npz(path, num_resblock=16)
+    assert converted["global_step"] == 913000
+
+    from tecogan_tpu.models import Discriminator, FNet, Generator
+
+    gen = Generator(num_resblock=16)
+    fnet = FNet()
+    disc = Discriminator()
+    gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 51)))["params"]
+    fp = fnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 6)))["params"]
+    dv = disc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 27)))
+    assert jax.tree.structure(converted["generator"]) == jax.tree.structure(gp)
+    assert jax.tree.structure(converted["fnet"]) == jax.tree.structure(fp)
+    assert jax.tree.structure(converted["discriminator"]) == jax.tree.structure(
+        dv["params"])
+    assert jax.tree.structure(
+        converted["discriminator_batch_stats"]
+    ) == jax.tree.structure(dv["batch_stats"])
+    # Shapes too, not just structure.
+    jax.tree.map(lambda a, b: None if a.shape == b.shape else 1 / 0,
+                 converted["discriminator"], dv["params"])
+    (out, layers), _ = disc.apply(
+        {"params": converted["discriminator"],
+         "batch_stats": converted["discriminator_batch_stats"]},
+        jnp.zeros((1, 32, 32, 27)), mutable=["batch_stats"])
+    assert out.shape == (1, 2, 2, 1) and len(layers) == 4
