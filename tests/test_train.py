@@ -246,3 +246,28 @@ def test_pure_dt_rejects_layerloss():
     with pytest.raises(ValueError, match="d_layerloss"):
         Trainer(tiny_cfg(ratio=0.01, pingpong=True,
                          dt_mergeDs=False, d_layerloss=True))
+
+
+def test_vgg_train_step_end_to_end(rng):
+    """Full case-3 loss stack with the VGG perceptual term active, using
+    randomly initialized VGG19 weights (the weights don't change the code
+    path; the real npz is network-gated). Pins that vgg losses flow into
+    All_loss_Gen and gradients stay finite (reference Teco.py:97,339-358)."""
+    from tecogan_tpu.models.vgg19 import VGG19Features
+
+    cfg = tiny_cfg(ratio=0.01, pingpong=True, pp_scaling=0.5,
+                   vgg_scaling=0.2, crop_size=16, rnn_n=3, batch_size=1)
+    vgg_params = VGG19Features().init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))["params"]
+    trainer = Trainer(cfg, vgg_params=vgg_params)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(cfg, rng, batch=1)
+
+    state2, metrics = trainer.train_step(state, batch)
+    for key in ("vgg_all", "vgg_loss_2", "vgg_loss_5",
+                "t_adversarial_loss", "All_loss_Gen"):
+        assert np.isfinite(float(metrics[key])), key
+    assert float(metrics["vgg_all"]) > 0
+    # vgg term actually contributes to the generator objective
+    assert float(metrics["All_loss_Gen"]) > float(metrics["l2_content_loss"])
+    assert float(state2.ema_losses["vgg_all"]) != 0.0
