@@ -194,6 +194,143 @@ def dense_image_warp(
     return outs.reshape(b, h, w, c)
 
 
+def warp_space_to_depth_halo(
+    image: jnp.ndarray,
+    flow: jnp.ndarray,
+    mesh,
+    axis: str,
+    block: int = 4,
+    scale: float = 1.0,
+    shift: float = 0.0,
+    max_displacement: float = _DEFAULT_MAX_DISPLACEMENT,
+    row_block: int = 240,
+    col_block: int = 512,
+) -> jnp.ndarray:
+    """H-sharded fused warp + space-to-depth with an explicit halo exchange.
+
+    GSPMD cannot infer that the warp gather's indices are halo-bounded
+    (|flow| <= ``max_displacement``): partitioning :func:`warp_space_to_depth`
+    under a ``PartitionSpec(None, axis)`` annotation all-gathers the full
+    packed HR operand *and* the index/weight grids on every shard — measured
+    ~537 MB of collectives per frame at 2048x4096 8-way
+    (``tools/audit_spatial_hlo.py``), which erases spatial scaling. This
+    version runs the warp inside :func:`jax.shard_map`: each shard exchanges
+    exactly one ``halo``-row band with each H-neighbor via ``lax.ppermute``
+    (~2 MB/frame over ICI) and gathers shard-locally.
+
+    Boundary shards receive zero halos (ppermute's no-source fill); those
+    rows are never addressed because corner indices are globally clamped to
+    [0, H-2] before localization, reproducing TF's edge-clamp semantics
+    (reference dense_image_warp, Teco.py:119-122) exactly — outputs are
+    bit-identical to the unsharded op.
+
+    Requires shard height > halo (one-neighbor exchange); raises otherwise.
+
+    Args:
+      image: (B, H, W, C) global HR image, H sharded over ``axis``.
+      flow: (B, H, W, 2) global HR flow, same sharding.
+      mesh: the Mesh carrying ``axis``.
+      max_displacement: bound on |flow| (production flows are tanh-bounded
+        to 24 LR px = 96 HR px, reference frvsr.py:39-40).
+
+    Returns:
+      (B, H/block, W/block, block*block*C), H sharded over ``axis``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    b, h, w, c = image.shape
+    n = mesh.shape[axis]
+    if h % (n * block) != 0:
+        raise ValueError(
+            f"H={h} must divide into {n} shards of {block}-multiples")
+    hs = h // n
+    halo = int(max_displacement) + 1
+    if hs <= halo:
+        raise ValueError(
+            f"shard height {hs} must exceed halo {halo}; use fewer shards "
+            f"(<= {h // (halo + 1)}) for {h}-row frames")
+    dtype = image.dtype
+
+    def local_warp(img_l, fl_l):
+        # img_l: (b, hs, w, c) shard; fl_l: (b, hs, w, 2).
+        i = jax.lax.axis_index(axis)
+        r0 = i * hs
+        fwd = [(j, j + 1) for j in range(n - 1)]   # my bottom -> next's top halo
+        bwd = [(j + 1, j) for j in range(n - 1)]   # my top -> prev's bottom halo
+        top = jax.lax.ppermute(img_l[:, hs - halo:], axis, fwd)
+        bot = jax.lax.ppermute(img_l[:, :halo], axis, bwd)
+        ext = jnp.concatenate([top, img_l, bot], axis=1)  # (b, hs+2*halo, w, c)
+        ext_h = hs + 2 * halo
+
+        # Corner coords on the GLOBAL grid (clamp to the full image), then
+        # localized into ext rows.
+        coord_dtype = jnp.promote_types(fl_l.dtype, jnp.float32)
+        fl32 = fl_l.astype(coord_dtype)
+        grid_y = (r0 + jnp.arange(hs, dtype=jnp.int32)).astype(coord_dtype)[
+            None, :, None]
+        grid_x = jnp.arange(w, dtype=coord_dtype)[None, None, :]
+        qy = grid_y - fl32[..., 0]
+        qx = grid_x - fl32[..., 1]
+        fy = jnp.clip(jnp.floor(qy), 0.0, h - 2)
+        fx = jnp.clip(jnp.floor(qx), 0.0, w - 2)
+        ay = jnp.clip(qy - fy, 0.0, 1.0)[..., None].astype(dtype)
+        ax = jnp.clip(qx - fx, 0.0, 1.0)[..., None].astype(dtype)
+        iy = fy.astype(jnp.int32) - (r0 - halo)  # ext-local rows
+        ix = fx.astype(jnp.int32)
+
+        packed = _tap_pack(ext)
+        rb = _snap_block(hs, row_block)
+        cb = _snap_block(w, col_block)
+        if hs * w <= _BLOCK_THRESHOLD_PIXELS or w <= 2 * halo + cb:
+            base = (iy * w + ix).reshape(b, hs * w, 1)
+            g = jnp.take_along_axis(
+                packed.reshape(b, ext_h * w, 4 * c), base, axis=1)
+            out = _lerp(g.reshape(b, hs, w, 4, c), ay, ax)
+        else:
+            # 2D-blocked local gather (same rationale as dense_image_warp's
+            # blocked path: keep each gather's operand cache-sized). Output
+            # block rows [a, a+rb) need ext rows [a, a + rb + 2*halo).
+            sr, sc = rb + 2 * halo, cb + 2 * halo
+            nr, nc = hs // rb, w // cb
+
+            def do_block(k):
+                a = (k // nc) * rb
+                c0 = (k % nc) * cb
+                s0 = jnp.clip(a, 0, ext_h - sr)
+                q0 = jnp.clip(c0 - halo, 0, w - sc)
+                slab = jax.lax.dynamic_slice(
+                    packed, (0, s0, q0, 0), (b, sr, sc, 4 * c))
+                iy_b = jnp.clip(
+                    jax.lax.dynamic_slice(iy, (0, a, c0), (b, rb, cb)) - s0,
+                    0, sr - 1)
+                ix_b = jnp.clip(
+                    jax.lax.dynamic_slice(ix, (0, a, c0), (b, rb, cb)) - q0,
+                    0, sc - 1)
+                ay_b = jax.lax.dynamic_slice(ay, (0, a, c0, 0), (b, rb, cb, 1))
+                ax_b = jax.lax.dynamic_slice(ax, (0, a, c0, 0), (b, rb, cb, 1))
+                base = (iy_b * sc + ix_b).reshape(b, rb * cb, 1)
+                g = jnp.take_along_axis(
+                    slab.reshape(b, sr * sc, 4 * c), base, axis=1)
+                return _lerp(g.reshape(b, rb, cb, 4, c), ay_b, ax_b)
+
+            outs = jax.lax.map(do_block, jnp.arange(nr * nc))
+            outs = outs.reshape(nr, nc, b, rb, cb, c)
+            out = outs.transpose(2, 0, 3, 1, 4, 5).reshape(b, hs, w, c)
+
+        if scale != 1.0 or shift != 0.0:
+            out = out * jnp.asarray(scale, dtype) + jnp.asarray(shift, dtype)
+        hl, wl = hs // block, w // block
+        out = out.reshape(b, hl, block, wl, block, c).transpose(0, 1, 3, 2, 4, 5)
+        return out.reshape(b, hl, wl, block * block * c)
+
+    return jax.shard_map(
+        local_warp,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis)),
+        out_specs=P(None, axis),
+    )(image, flow)
+
+
 def dense_image_warp_reference(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Direct 4-gather realization — the parity oracle for tests."""
     b, h, w, c = image.shape

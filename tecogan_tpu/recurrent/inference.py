@@ -31,7 +31,7 @@ import numpy as np
 from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.models import FNet, Generator
 from tecogan_tpu.ops import deprocess
-from tecogan_tpu.ops.warp import warp_space_to_depth
+from tecogan_tpu.ops.warp import warp_space_to_depth, warp_space_to_depth_halo
 from tecogan_tpu.recurrent.step import (
     RecurrentState,
     frame_step,
@@ -99,6 +99,24 @@ class StreamingSR:
         gen_apply = self.generator.apply
         fnet_apply = self.fnet.apply
         as_uint8 = self.output == "uint8"
+        spatial_mesh = self.spatial_mesh
+        sp_axis = self.config.sp_axis
+        max_disp = 4.0 * self.config.flow_max_velocity
+
+        def warp(prev_hr, flow):
+            # On a spatial mesh, use the explicit shard_map halo-exchange
+            # warp whenever shard geometry allows (GSPMD all-gathers the
+            # full packed operand otherwise — tools/audit_spatial_hlo.py);
+            # shapes are static at trace time so this is a compile-time
+            # branch, and the tiny-frame fallback keeps identical semantics.
+            if spatial_mesh is not None:
+                n = spatial_mesh.shape[sp_axis]
+                hs = prev_hr.shape[1] // n
+                if hs > int(max_disp) + 1 and prev_hr.shape[1] % (4 * n) == 0:
+                    return warp_space_to_depth_halo(
+                        prev_hr, flow, spatial_mesh, sp_axis, 4,
+                        max_displacement=max_disp)
+            return warp_space_to_depth(prev_hr, flow, 4)
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def run_chunk(gen_params, fnet_params, state, lr_chunk):
@@ -114,7 +132,7 @@ class StreamingSR:
 
             def body(st, xs):
                 lr, flow = xs
-                packed = warp_space_to_depth(st.prev_hr, flow, 4)
+                packed = warp(st.prev_hr, flow)
                 gen_out = gen_apply(
                     {"params": gen_params},
                     jnp.concatenate([lr, packed], axis=-1),

@@ -61,8 +61,13 @@ def frame_step(
     fnet_params,
     state: RecurrentState,
     lr_frame: jnp.ndarray,
+    warp_fn=None,
 ) -> Tuple[RecurrentState, jnp.ndarray]:
-    """Advance one frame. Returns (new_state, hr_frame in [0, 1])."""
+    """Advance one frame. Returns (new_state, hr_frame in [0, 1]).
+
+    ``warp_fn(prev_hr, flow_hr) -> packed`` overrides the fused warp+s2d
+    (used by the spatially-sharded path to substitute the halo-exchange
+    variant, ops/warp.py:warp_space_to_depth_halo)."""
     b, h, w, _ = lr_frame.shape
     flow_lr = fnet_apply(
         {"params": fnet_params}, jnp.concatenate([state.prev_lr, lr_frame], axis=-1)
@@ -70,7 +75,10 @@ def frame_step(
     flow_hr = upscale_flow(flow_lr, h, w)
     # Fused warp + space-to-depth: the warped HR frame is only ever consumed
     # packed, so gather directly in s2d order (ops/warp.py).
-    packed = warp_space_to_depth(state.prev_hr, flow_hr, 4)
+    if warp_fn is None:
+        packed = warp_space_to_depth(state.prev_hr, flow_hr, 4)
+    else:
+        packed = warp_fn(state.prev_hr, flow_hr)
     gen_out = gen_apply(
         {"params": gen_params}, jnp.concatenate([lr_frame, packed], axis=-1)
     )

@@ -1,0 +1,81 @@
+"""Audit how GSPMD partitions the H-sharded warp (VERDICT round-1 #8).
+
+The spatially-sharded streaming path annotates frames/state with
+PartitionSpec(None, 'space') and lets GSPMD partition the whole step. The
+warp's gather has halo-bounded indices (|flow| <= 96 HR px), so the *right*
+partitioning exchanges only a 97-row halo between neighbors; the *wrong* one
+all-gathers the full packed HR operand per shard, killing scaling.
+
+This script compiles the sharded warp on an 8-device virtual CPU mesh and
+reports every collective in the optimized HLO with its operand shapes, and
+the per-shard bytes they move.
+
+Usage: python tools/audit_spatial_hlo.py [H W]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+from tecogan_tpu.ops.warp import warp_space_to_depth  # noqa: E402
+
+
+def audit(h: int, w: int) -> None:
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("space",))
+    sh = NamedSharding(mesh, P(None, "space"))
+
+    hr_shape = (1, 4 * h, 4 * w, 3)
+    fl_shape = (1, 4 * h, 4 * w, 2)
+
+    fn = jax.jit(
+        lambda im, fl: warp_space_to_depth(im, fl, 4),
+        in_shardings=(sh, sh),
+        out_shardings=sh,
+    )
+    lowered = fn.lower(
+        jax.ShapeDtypeStruct(hr_shape, jnp.bfloat16),
+        jax.ShapeDtypeStruct(fl_shape, jnp.bfloat16),
+    )
+    hlo = lowered.compile().as_text()
+
+    full_operand_mb = np.prod(hr_shape) * 4 * 2 / 1e6  # packed 4C bf16
+    print(f"warp {hr_shape} H-sharded 8-way; packed operand {full_operand_mb:.0f} MB")
+    coll = re.findall(
+        r"^\s*(?:\S+ = )?(\S+) (all-gather|collective-permute|all-reduce|"
+        r"all-to-all|reduce-scatter)\(.*$",
+        hlo, re.M)
+    if not coll:
+        print("NO collectives found (gather resolved shard-locally)")
+    tot_ag = 0.0
+    for shape, kind in coll:
+        m = re.match(r"(\w+)\[([\d,]*)\]", shape)
+        nbytes = 0
+        if m:
+            dt, dims = m.groups()
+            elems = np.prod([int(d) for d in dims.split(",") if d]) if dims else 1
+            nbytes = elems * {"f32": 4, "bf16": 2, "s32": 4, "u32": 4,
+                              "pred": 1, "u8": 1}.get(dt, 4)
+        if kind == "all-gather":
+            tot_ag += nbytes
+        print(f"  {kind:20s} {shape:40s} {nbytes/1e6:8.2f} MB")
+    print(f"total all-gather bytes: {tot_ag/1e6:.2f} MB "
+          f"({'FULL-OPERAND all-gather — halo exchange NOT happening'
+             if tot_ag > 0.5 * full_operand_mb * 1e6 else 'bounded'})")
+
+
+if __name__ == "__main__":
+    # Default 512x1024: H divisible by 8 shards at both LR and HR grids
+    # (the 540p production shape shards 4-way; halo behavior is identical).
+    h = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    w = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    audit(h, w)
