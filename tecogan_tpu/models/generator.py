@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tecogan_tpu.models.layers import conv2, conv2_tran
+from tecogan_tpu.models.layers import NarrowOutputConv, conv2, conv2_tran
 from tecogan_tpu.ops.image import preprocess
 from tecogan_tpu.ops.resize import bicubic_four
 
@@ -54,7 +54,10 @@ class Generator(nn.Module):
         net = conv2_tran(net, self.channels, 3, 2, name="conv_tran2", **kw)
         net = jax.nn.relu(net)
 
-        net = conv2(net, self.out_channels, 3, 1, name="output_stage_conv", **kw)
+        # Column-folded on large frames: N=3 starves the MXU (see
+        # models/layers.py:NarrowOutputConv); params identical to conv2.
+        net = NarrowOutputConv(features=self.out_channels,
+                               name="output_stage_conv", **kw)(net)
         net = net + bicubic_four(lr)
         return preprocess(net)
 
@@ -104,6 +107,21 @@ def generator_apply_fused(params, x, num_resblock: int = 16):
 
     net = jax.nn.relu(conv_tran("conv_tran1", net))
     net = jax.nn.relu(conv_tran("conv_tran2", net))
-    net = conv("output_stage_conv", net)
+    # Same column-folded narrow-output conv as the flax module.
+    from tecogan_tpu.models.layers import _FOLD_GROUP, _FOLD_THRESHOLD_PIXELS
+    bsz, hh, ww, _ = net.shape
+    if hh * ww > _FOLD_THRESHOLD_PIXELS and ww % _FOLD_GROUP == 0:
+        g = _FOLD_GROUP
+        k = p["output_stage_conv"]["kernel"].astype(net.dtype)
+        kw = jnp.zeros((3, g + 2, k.shape[2], g * 3), net.dtype)
+        for j in range(g):
+            kw = kw.at[:, j:j + 3, :, j * 3:(j + 1) * 3].set(k)
+        out = jax.lax.conv_general_dilated(
+            net, kw, (1, g), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        net = out.reshape(bsz, hh, ww, 3) + \
+            p["output_stage_conv"]["bias"].astype(net.dtype)
+    else:
+        net = conv("output_stage_conv", net)
     net = net + bicubic_four(lr)
     return preprocess(net)

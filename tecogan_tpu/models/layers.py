@@ -41,6 +41,60 @@ def conv2(
     )(x)
 
 
+#: Apply the column-folded narrow-output conv above this output pixel count
+#: (matches ops/warp.py's large-frame threshold; tiny/test shapes keep the
+#: plain conv so CPU golden tests are unaffected).
+_FOLD_THRESHOLD_PIXELS = 2_000_000
+_FOLD_GROUP = 8
+
+
+class NarrowOutputConv(nn.Module):
+    """SAME 3x3 conv with few output channels (e.g. the generator's 64->3
+    output stage) that folds ``group`` adjacent output COLUMNS into channels
+    on large frames.
+
+    A 3-channel conv uses 3/128 MXU output lanes — measured ~2.3 TF/s at
+    2160p (tools/trace_2160p.py), the single slowest op of the streaming
+    step. The folded form is a stride-(1, group) conv with a 3x(group+2)
+    kernel whose blocks are shifted copies of the 3x3 kernel: every output
+    pixel still sees exactly its own 3x3xC window (identical taps, bit-equal
+    on TPU at group=8, tools/gen_ablate.py), then a free row-major reshape
+    (W/group, 3*group) -> (W, 3). Saves ~6.7 ms/frame at 2160p.
+
+    Param layout matches ``nn.Conv`` (kernel (3,3,in,out), bias (out,)) so
+    checkpoints are unaffected. Replaces reference lib/ops.py:47-56's slim
+    conv at the generator output (frvsr.py:83).
+    """
+
+    features: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        k = self.param("kernel", xavier_init, (3, 3, in_f, self.features),
+                       self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), self.param_dtype)
+        from flax.linen.dtypes import promote_dtype
+        x, k, b = promote_dtype(x, k, b, dtype=self.dtype)
+        bsz, h, w, _ = x.shape
+        g = _FOLD_GROUP
+        if h * w > _FOLD_THRESHOLD_PIXELS and w % g == 0:
+            kw = jnp.zeros((3, g + 2, in_f, g * self.features), k.dtype)
+            for j in range(g):
+                kw = kw.at[:, j:j + 3, :, j * self.features:
+                           (j + 1) * self.features].set(k)
+            out = lax.conv_general_dilated(
+                x, kw, (1, g), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return out.reshape(bsz, h, w, self.features) + b
+        out = lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + b
+
+
 def conv2_tran(
     x,
     features: int,

@@ -359,6 +359,8 @@ def warp_space_to_depth(
     block: int = 4,
     scale: float = 1.0,
     shift: float = 0.0,
+    row_block: int = 240,
+    col_block: int = 512,
 ) -> jnp.ndarray:
     """Fused ``space_to_depth(scale * dense_image_warp(image, flow) + shift)``.
 
@@ -383,7 +385,8 @@ def warp_space_to_depth(
     b, h, w, c = image.shape
     assert h % block == 0 and w % block == 0, (h, w, block)
     dtype = image.dtype
-    out = dense_image_warp(image, flow)
+    out = dense_image_warp(image, flow, row_block=row_block,
+                           col_block=col_block)
     if scale != 1.0 or shift != 0.0:
         out = out * jnp.asarray(scale, dtype) + jnp.asarray(shift, dtype)
     hl, wl = h // block, w // block
