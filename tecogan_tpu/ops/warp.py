@@ -108,12 +108,22 @@ def _snap_block(size: int, target: int) -> int:
     return size
 
 
+def _s2d_tile(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/s, W/s, s*s*C) space-to-depth (TF channel order)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // s, s, w // s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // s, w // s, s * s * c)
+
+
 def dense_image_warp(
     image: jnp.ndarray,
     flow: jnp.ndarray,
     max_displacement: float = _DEFAULT_MAX_DISPLACEMENT,
     row_block: int = 240,
     col_block: int = 512,
+    s2d_block: int = 0,
+    scale: float = 1.0,
+    shift: float = 0.0,
 ) -> jnp.ndarray:
     """Backward-warp ``image`` by ``flow`` ((dy, dx) channel order).
 
@@ -128,12 +138,22 @@ def dense_image_warp(
       row_block / col_block: target 2D gather tile on the blocked path
         (snapped to divisors of H/W; measured sweet spot ~240x384-768 on
         v5e, 7.5x over the unblocked gather at 2160p).
+      s2d_block: if nonzero, emit ``space_to_depth(scale * warp + shift,
+        s2d_block)`` instead of the raw warp. On the blocked path the s2d
+        transpose runs per gather tile and fuses with the lerp epilogue —
+        one full-frame lane-interleave transpose fewer than warping then
+        packing (~4.7 ms/frame at 2160p, tools/trace_2160p.py).
 
     Returns:
-      (B, H, W, C) warped image, dtype of ``image``.
+      (B, H, W, C) warped image (or its s2d packing), dtype of ``image``.
     """
     b, h, w, c = image.shape
     dtype = image.dtype
+
+    def epilogue(x: jnp.ndarray) -> jnp.ndarray:
+        if scale != 1.0 or shift != 0.0:
+            x = x * jnp.asarray(scale, dtype) + jnp.asarray(shift, dtype)
+        return _s2d_tile(x, s2d_block) if s2d_block else x
 
     # Batched large frames: gather throughput collapses when the operand
     # spans all batch elements (working set b*H*W*4C); map per image so each
@@ -144,6 +164,7 @@ def dense_image_warp(
             return dense_image_warp(
                 im[None], fl[None], max_displacement=max_displacement,
                 row_block=row_block, col_block=col_block,
+                s2d_block=s2d_block, scale=scale, shift=shift,
             )[0]
         return jax.lax.map(one, (image, flow))
 
@@ -163,10 +184,14 @@ def dense_image_warp(
     if not use_blocks:
         base = (iy * w + ix).reshape(b, h * w, 1)
         g = jnp.take_along_axis(packed.reshape(b, h * w, 4 * c), base, axis=1)
-        return _lerp(g.reshape(b, h, w, 4, c), ay, ax)
+        return epilogue(_lerp(g.reshape(b, h, w, 4, c), ay, ax))
 
     sr, sc = row_block + 2 * halo, col_block + 2 * halo
     nr, nc = h // row_block, w // col_block
+    # Per-tile s2d requires tile sides divisible by the s2d block.
+    tile_s2d = s2d_block if (
+        s2d_block and row_block % s2d_block == 0 and col_block % s2d_block == 0
+    ) else 0
 
     def do_block(k):
         r0 = (k // nc) * row_block
@@ -186,12 +211,23 @@ def dense_image_warp(
         ax_b = jax.lax.dynamic_slice(ax, (0, r0, c0, 0), (b, row_block, col_block, 1))
         base = (iy_b * sc + ix_b).reshape(b, row_block * col_block, 1)
         g = jnp.take_along_axis(slab.reshape(b, sr * sc, 4 * c), base, axis=1)
-        return _lerp(g.reshape(b, row_block, col_block, 4, c), ay_b, ax_b)
+        out = _lerp(g.reshape(b, row_block, col_block, 4, c), ay_b, ax_b)
+        if tile_s2d:
+            if scale != 1.0 or shift != 0.0:
+                out = out * jnp.asarray(scale, dtype) + jnp.asarray(shift, dtype)
+            out = _s2d_tile(out, tile_s2d)
+        return out
 
     outs = jax.lax.map(do_block, jnp.arange(nr * nc))
+    if tile_s2d:
+        s = tile_s2d
+        outs = outs.reshape(nr, nc, b, row_block // s, col_block // s, s * s * c)
+        outs = outs.transpose(2, 0, 3, 1, 4, 5)
+        return outs.reshape(b, h // s, w // s, s * s * c)
     outs = outs.reshape(nr, nc, b, row_block, col_block, c)
     outs = outs.transpose(2, 0, 3, 1, 4, 5)
-    return outs.reshape(b, h, w, c)
+    out = outs.reshape(b, h, w, c)
+    return epilogue(out)
 
 
 def warp_space_to_depth_halo(
@@ -384,11 +420,13 @@ def warp_space_to_depth(
     """
     b, h, w, c = image.shape
     assert h % block == 0 and w % block == 0, (h, w, block)
+    # NOTE: dense_image_warp's s2d_block option fuses the s2d per gather
+    # tile — measured SLOWER in the 2160p streaming scan (92.7 vs 82.3
+    # ms/frame, tools/ab_step.py: the tiled reassembly transpose costs more
+    # than one full-frame s2d), so the production path packs after the warp.
     dtype = image.dtype
     out = dense_image_warp(image, flow, row_block=row_block,
                            col_block=col_block)
     if scale != 1.0 or shift != 0.0:
         out = out * jnp.asarray(scale, dtype) + jnp.asarray(shift, dtype)
-    hl, wl = h // block, w // block
-    out = out.reshape(b, hl, block, wl, block, c).transpose(0, 1, 3, 2, 4, 5)
-    return out.reshape(b, hl, wl, block * block * c)
+    return _s2d_tile(out, block)

@@ -307,3 +307,42 @@ def test_blocked_warp_matches_oracle(rng, monkeypatch):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gf_a), np.asarray(gf_b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_blocked_warp_tile_s2d_matches_oracle(rng, monkeypatch):
+    """Fused per-tile s2d on the blocked path == s2d(oracle warp), incl.
+    the scale/shift epilogue and the map-per-image batched route."""
+    import jax
+
+    import tecogan_tpu.ops.warp as W
+    from tecogan_tpu.ops.space_to_depth import space_to_depth
+
+    monkeypatch.setattr(W, "_BLOCK_THRESHOLD_PIXELS", 100)
+    monkeypatch.setattr(W, "_MAP_THRESHOLD_PIXELS", 100)
+    image = rng.rand(2, 64, 48, 3).astype(np.float32)
+    flow = (rng.rand(2, 64, 48, 2) * 10 - 5).astype(np.float32)
+
+    got = W.warp_space_to_depth(
+        jnp.asarray(image), jnp.asarray(flow), 4, scale=0.5, shift=0.5,
+        row_block=16, col_block=16)
+    # row/col block 16 % 4 == 0 -> the per-tile s2d branch is exercised.
+    oracle = W.dense_image_warp_reference(jnp.asarray(image), jnp.asarray(flow))
+    want = space_to_depth(oracle * 0.5 + 0.5, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    # Indivisible tile (block 16 vs s2d 5 path impossible; use row_block 18):
+    # falls back to full-frame s2d, still exact.
+    got2 = W.dense_image_warp(
+        jnp.asarray(image), jnp.asarray(flow), max_displacement=5.0,
+        row_block=18, col_block=18, s2d_block=4)
+    want2 = space_to_depth(oracle, 4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-6, atol=1e-6)
+
+    # Gradients flow through the fused path.
+    g = jax.grad(lambda im: jnp.sum(
+        W.warp_space_to_depth(im, jnp.asarray(flow), 4,
+                              row_block=16, col_block=16) ** 2))(
+        jnp.asarray(image))
+    assert np.isfinite(np.asarray(g)).all()
