@@ -84,6 +84,11 @@ class TecoConfig:
     param_dtype: str = "float32"
     remat_generator: bool = True     # per-frame rematerialisation in train scan
     infer_chunk: int = 16            # frames per scan chunk at inference
+    fused_trunk: str = "off"         # Pallas resblock trunk at inference:
+    #   "off" = never (default: wins isolated — 38.2 vs 49.6 ms at 540x960 —
+    #   but loses ~13 ms/frame inside the streaming scan, where XLA's chain
+    #   runs ~2x faster than in isolation; kernels/resblocks.py docstring),
+    #   "auto" = on large frames, "on" = always. Training always uses XLA.
 
     # --- parallelism (TPU-native; reference is single-GPU, SURVEY §2.3) ---
     dp_axis: str = "data"            # data-parallel mesh axis name

@@ -17,11 +17,14 @@ XLA remains the production path.
 
 The pair-packed variants below (`resblock_chain_paired`, `_v2`) lift the
 tap matmuls to dense (M, 128) @ (128, 128) tiles (50% useful MACs) and DO
-beat XLA in isolation (2.21 ms vs 2.62 ms) — but wired into the full
-streaming step they LOSE (~164 vs ~194 fps): the pair pack/unpack layout
-transposes and per-frame kernel launches cost more than the 0.4 ms saved,
-and bf16 tap-order drift compounds over 16 blocks. All variants stay
-available for offline experimentation; none is on the default path.
+beat XLA in isolation (2.21 ms vs 2.62 ms at 144x180; 38.2 vs 49.6 ms for
+the row-banded form at 540x960) — but wired into the full streaming step
+they LOSE (~164 vs ~194 fps at 144x180; ~10.4 vs ~12.0 fps at 540p->2160p,
+where XLA's in-scan chain runs ~2x faster than the same chain isolated):
+the pair pack/unpack layout transposes and per-frame kernel launches cost
+more than the MXU win, and bf16 tap-order drift compounds over 16 blocks.
+All variants stay available behind ``TecoConfig.fused_trunk``; none is on
+the default path.
 
 Layout: the (H, W, C) activation is stored flat as (P*S, C) where S = W+4
 is the row stride (8-aligned; two zero columns each side) and P = H+6
@@ -31,8 +34,9 @@ window and derives all nine conv taps from *static* value slices, so SAME
 zero-padding falls out of the zero borders. An iota-computed mask re-zeros
 the borders after every block.
 
-Grid step r applies residual block r, ping-ponging between the output
-buffer (aliased with the input) and one scratch buffer. Within a step,
+Grid step r applies residual block r: step 0 reads the packed source from
+its own input block, later steps ping-pong between the output buffer and
+one scratch buffer. Within a step,
 output row-tiles compute conv1 on a 1-row + 1-column halo so conv2 consumes
 y entirely from registers — no intermediate activation buffer.
 
@@ -82,8 +86,7 @@ def resblock_chain_xla(x, w1, b1, w2, b2):
 # ----------------------------------------------------------------- kernel
 def _chain_kernel(w1_ref, b1_ref, w2_ref, b2_ref, x_ref, o_ref, buf_ref, *,
                   h: int, w: int, c: int, tile_rows: int, n_res: int):
-    """One grid step = one residual block (x_ref is aliased with o_ref)."""
-    del x_ref  # aliased with o_ref; o_ref is both chain input and output
+    """One grid step = one residual block; step 0 reads from x_ref."""
     r = pl.program_id(0)
     s = w + 4                          # 8-aligned row stride
     assert s % 8 == 0, s
@@ -148,12 +151,18 @@ def _chain_kernel(w1_ref, b1_ref, w2_ref, b2_ref, x_ref, o_ref, buf_ref, *,
         dst[pl.ds(tail, total - tail), :] = jnp.zeros(
             (total - tail, c), dst.dtype)
 
-    # Ping-pong: block r reads A if r even else B, writes the other;
-    # A = o_ref (aliased input). After the last block the result must be in
-    # o_ref; when n_res is odd the final write lands in buf and is copied.
+    # Ping-pong: step 0 reads the packed source from x_ref, then blocks
+    # alternate buf_ref <-> o_ref. After the last block the result must be
+    # in o_ref; when n_res is odd the final write lands in buf and is
+    # copied. (Reading the source through an input_output_aliases'd OUTPUT
+    # block miscompiles under an outer jit — see _paired_kernel.)
     even = r % 2 == 0
 
-    @pl.when(even)
+    @pl.when(r == 0)
+    def _():
+        body(x_ref, buf_ref)
+
+    @pl.when(even & (r > 0))
     def _():
         body(o_ref, buf_ref)
 
@@ -208,7 +217,6 @@ def _fused_chain_single(x, w1t, b1r, w2t, b2r, tile_rows: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((m, c), x.dtype)],
-        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(w1t, b1r, w2t, b2r, flat)
@@ -298,7 +306,6 @@ def _paired_kernel(w1_ref, b1_ref, w2_ref, b2_ref, x_ref, o_ref, buf_ref, *,
                    h: int, w: int, c: int, s_cols: int, tile_rows: int,
                    n_res: int):
     """Pair-packed chain: activations (M2, 2C), pairs per row s2 = s_cols/2."""
-    del x_ref
     r = pl.program_id(0)
     s2 = s_cols // 2
     first = _PAD_ROWS * s2
@@ -356,9 +363,20 @@ def _paired_kernel(w1_ref, b1_ref, w2_ref, b2_ref, x_ref, o_ref, buf_ref, *,
         dst[pl.ds(tail, total - tail), :] = jnp.zeros(
             (total - tail, 2 * c), dst.dtype)
 
+    # Step 0 reads the packed source from x_ref (its own input block); later
+    # steps ping-pong buf_ref <-> o_ref. Reading the source through an
+    # input_output_aliases'd OUTPUT block (the previous scheme) miscompiles
+    # under an outer jit at large sizes: XLA may assign the aliased operand
+    # and the output different physical tilings (observed bf16[...]{1,0} vs
+    # {1,0:T(8,128)(2,1)} at 540x960), so the kernel read a wrongly-tiled
+    # buffer -> ~27% NaNs. Explicit x_ref reads are layout-safe.
     even = r % 2 == 0
 
-    @pl.when(even)
+    @pl.when(r == 0)
+    def _():
+        body(x_ref, buf_ref)
+
+    @pl.when(even & (r > 0))
     def _():
         body(o_ref, buf_ref)
 
@@ -414,7 +432,6 @@ def _fused_chain_single_paired(x, w1p, b1p, w2p, b2p, tile_rows: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m2, 2 * c), x.dtype),
         scratch_shapes=[pltpu.VMEM((m2, 2 * c), x.dtype)],
-        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(w1p, b1p, w2p, b2p, flat)
@@ -453,7 +470,6 @@ def _paired_kernel_v2(w1_ref, b1_ref, w2_ref, b2_ref, x_ref, o_ref,
     """Pair-packed chain v2: per block, build whole-buffer +-1-pair shifted
     copies of the source (two static-slice copies) so all conv1 taps load
     ALIGNED — the per-tap sublane relayouts of v1 were the bottleneck."""
-    del x_ref
     r = pl.program_id(0)
     s2 = s_cols // 2
     first = _PAD_ROWS * s2
@@ -521,9 +537,14 @@ def _paired_kernel_v2(w1_ref, b1_ref, w2_ref, b2_ref, x_ref, o_ref,
         dst[pl.ds(tail, total - tail), :] = jnp.zeros(
             (total - tail, 2 * c), dst.dtype)
 
+    # Step 0 reads from x_ref (layout-safe; see _paired_kernel).
     even = r % 2 == 0
 
-    @pl.when(even)
+    @pl.when(r == 0)
+    def _():
+        body(x_ref, buf_ref)
+
+    @pl.when(even & (r > 0))
     def _():
         body(o_ref, buf_ref)
 
@@ -577,7 +598,6 @@ def _fused_chain_single_paired_v2(x, w1p, b1p, w2p, b2p, tile_rows: int):
             pltpu.VMEM((m2, 2 * c), x.dtype),
             pltpu.VMEM((m2, 2 * c), x.dtype),
         ],
-        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(w1p, b1p, w2p, b2p, flat)
@@ -601,3 +621,99 @@ def resblock_chain_paired_v1_auto(x, w1, b1, w2, b2):
     if _use_pallas() and x.shape[2] % 2 == 0:
         return resblock_chain_paired(x, w1, b1, w2, b2)
     return resblock_chain_xla(x, w1, b1, w2, b2)
+
+
+# VMEM the paired kernel may claim for its three (M2, 2C) activation
+# buffers (input + output + ping-pong scratch), inside the kernel's 100 MB
+# scoped limit with headroom for double-buffered weight blocks.
+_PAIRED_VMEM_BUDGET = 88 * 1024 * 1024
+
+
+def _paired_row_pairs(w: int) -> int:
+    s_cols = w + 4
+    if (s_cols // 2) % 8 != 0:
+        s_cols = w + 4 + (16 - (w + 4) % 16) % 16
+    return s_cols // 2
+
+
+def resblock_chain_paired_auto(x, w1, b1, w2, b2, chunk: int = 4):
+    """Pair-packed chain with automatic whole-image / banded dispatch.
+
+    TPU + even width: run the whole image in VMEM when its three activation
+    buffers fit the budget, else band the frame (near-equal bands sized to
+    fit, sub-chains of ``chunk`` blocks -> 2*chunk+1-row halos). Measured on
+    v5e bf16: 2.21 vs 2.62 ms at 144x180 (whole), 38.2 vs 49.6 ms at
+    540x960 (banded 180/4) against XLA's conv chain. Elsewhere: XLA oracle.
+    """
+    if not _use_pallas() or x.shape[2] % 2:
+        return resblock_chain_xla(x, w1, b1, w2, b2)
+    _, h, w, c = x.shape
+    esize = jnp.dtype(x.dtype).itemsize
+    row_bytes = 3 * _paired_row_pairs(w) * 2 * c * esize
+    if (h + 2 * _PAD_ROWS) * row_bytes <= _PAIRED_VMEM_BUDGET:
+        return resblock_chain_paired(x, w1, b1, w2, b2)
+    halo = 2 * chunk + 1
+    max_band = (_PAIRED_VMEM_BUDGET // row_bytes) - 2 * _PAD_ROWS - 2 * halo
+    if max_band < 64:
+        return resblock_chain_xla(x, w1, b1, w2, b2)
+    n_bands = -(-h // max_band)
+    band = -(-h // n_bands)
+    return resblock_chain_paired_banded(
+        x, w1, b1, w2, b2, band_rows=band, chunk=chunk)
+
+
+# ------------------------------------------------------------ banded chain
+def resblock_chain_paired_banded(
+    x,
+    w1,
+    b1,
+    w2,
+    b2,
+    band_rows: int = 270,
+    chunk: int = 0,
+    use_v2: bool = False,
+):
+    """Pair-packed fused chain on frames too tall for whole-image VMEM
+    residency (e.g. the 540x960 trunk of 2160p streaming).
+
+    The whole-image kernels above keep 3 (v1) or 5 (v2) full activation
+    buffers in VMEM — 67 MB each at 540x960x64 bf16, far over budget. This
+    wrapper runs the chain in row BANDS at the JAX level: each band is
+    sliced with a halo of ``2*chunk + 1`` rows (one conv corrupts one row
+    inward from a band edge, so after a 2*chunk-conv sub-chain the kept
+    interior is exact — the kernel's own zero-pad/mask only ever touches
+    discarded halo rows), runs the existing kernel unchanged, and the clean
+    interiors are stitched. ``chunk`` < n splits the chain into sequential
+    sub-chains to shrink the halo (cheaper recompute) at the cost of HBM
+    round-trips between chunks.
+
+    Identical math to :func:`resblock_chain_xla` up to bf16 tap-summation
+    order (golden-tested in tests/test_kernels.py).
+    """
+    bsz, h, w, c = x.shape
+    n = w1.shape[0]
+    chunk = chunk or n
+    single = _fused_chain_single_paired_v2 if use_v2 else _fused_chain_single_paired
+
+    for r0 in range(0, n, chunk):
+        k = min(chunk, n - r0)
+        halo = 2 * k + 1
+        taps = _pair_taps(w1[r0:r0 + k], b1[r0:r0 + k],
+                          w2[r0:r0 + k], b2[r0:r0 + k])
+        outs = []
+        for i in range(bsz):
+            if h <= band_rows + 2 * halo:
+                outs.append(single(x[i], *taps, tile_rows=_pick_tile(h)))
+                continue
+            pieces = []
+            for a in range(0, h, band_rows):
+                rows = min(band_rows, h - a)
+                lo = max(0, a - halo)
+                hi = min(h, a + rows + halo)
+                band = jax.lax.slice_in_dim(x[i], lo, hi, axis=0)
+                out = single(band, *taps, tile_rows=_pick_tile(hi - lo))
+                pieces.append(
+                    jax.lax.slice_in_dim(out, a - lo, a - lo + rows, axis=0))
+            outs.append(jnp.concatenate(pieces, axis=0))
+        x = jnp.stack(outs, 0)
+    return x

@@ -30,6 +30,7 @@ import numpy as np
 
 from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.models import FNet, Generator
+from tecogan_tpu.models.generator import generator_apply_fused
 from tecogan_tpu.ops import deprocess
 from tecogan_tpu.ops.warp import warp_space_to_depth, warp_space_to_depth_halo
 from tecogan_tpu.recurrent.step import (
@@ -45,6 +46,10 @@ WARMUP_FRAMES = 5  # reference dataloader.py:42-44
 # streaming (chunk k fetches while chunk k+1 computes). 2 = full
 # compute/transfer overlap with O(chunk) device memory.
 _MAX_IN_FLIGHT = 2
+
+# LR pixels above which the fused Pallas trunk beats XLA's conv chain in
+# the streaming step (v5e: loses at 144x180, wins at 540x960).
+_FUSED_TRUNK_MIN_PIXELS = 250_000
 
 
 def prepend_warmup(frames: List) -> List:
@@ -91,12 +96,36 @@ class StreamingSR:
         self._chunk_fn = None
 
     # ------------------------------------------------------------- chunk fn
+    def _gen_apply(self):
+        """Generator apply for the streaming path: routes large frames
+        through the fused Pallas trunk (``config.fused_trunk``) — it beats
+        XLA's conv chain only once the frame is big enough to amortize the
+        pair pack/unpack (kernels/resblocks.py module docstring). Shapes
+        are static at trace time, so this is a compile-time branch. Not
+        used on a spatial mesh (a Pallas call would block GSPMD's
+        partitioning of the generator)."""
+        mode = self.config.fused_trunk
+        flax_apply = self.generator.apply
+        if (mode == "off" or self.spatial_mesh is not None
+                or self.config.gen_channels != 64):
+            return flax_apply
+        num_rb = self.config.num_resblock
+        min_px = 0 if mode == "on" else _FUSED_TRUNK_MIN_PIXELS
+
+        def apply(variables, xin):
+            if xin.shape[1] * xin.shape[2] >= min_px:
+                return generator_apply_fused(
+                    variables["params"], xin, num_resblock=num_rb)
+            return flax_apply(variables, xin)
+
+        return apply
+
     def _build_chunk_fn(self):
         """Offline-optimal chunk step, semantically identical to the live
         per-frame step: fnet and the flow upsample run once as a (T*B)
         batch (better MXU utilization than T serial 1-batch calls), then a
         scan carries only the truly recurrent warp+generator."""
-        gen_apply = self.generator.apply
+        gen_apply = self._gen_apply()
         fnet_apply = self.fnet.apply
         as_uint8 = self.output == "uint8"
         spatial_mesh = self.spatial_mesh

@@ -129,3 +129,59 @@ def test_resblock_chain_odd_length(rng):
         got = R._fused_chain_single(x, w1t, b1r, w2t, b2r, tile_rows=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_resblock_chain_paired_banded_matches_xla(rng):
+    """Row-banded pair-packed chain (interpret) == XLA oracle for every
+    band/chunk geometry, including uneven final bands and sub-chains, and
+    under an OUTER jit.
+
+    The outer-jit case is a regression guard: the kernels originally read
+    their source through an ``input_output_aliases``'d output block, which
+    miscompiled when inlined into a surrounding jit on real TPUs (layout
+    mismatch between the aliased operand and the output; ~27% NaNs at
+    540x960). The kernels now read step 0 from their own input block.
+    """
+    import functools
+    from unittest import mock
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    import tecogan_tpu.kernels.resblocks as R
+
+    B, H, W, C, N = 2, 40, 12, 8, 4
+    x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32) - 0.5)
+    w1 = jnp.asarray(rng.randn(N, 3, 3, C, C).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(N, 3, 3, C, C).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(N, C).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(N, C).astype(np.float32) * 0.1)
+
+    want = np.asarray(R.resblock_chain_xla(x, w1, b1, w2, b2))
+    with mock.patch.object(R.pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        for band, chunk in [(16, 0), (16, 2), (12, 1), (40, 2)]:
+            got = R.resblock_chain_paired_banded(
+                x, w1, b1, w2, b2, band_rows=band, chunk=chunk)
+            np.testing.assert_allclose(np.asarray(got), want,
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"band={band} chunk={chunk}")
+        jitted = jax.jit(lambda *a: R.resblock_chain_paired_banded(
+            *a, band_rows=16, chunk=2))(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(jitted), want,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_resblock_chain_paired_auto_dispatch(rng):
+    """Off-TPU the auto dispatcher must return the XLA oracle result."""
+    import tecogan_tpu.kernels.resblocks as R
+
+    B, H, W, C, N = 1, 10, 8, 4, 2
+    x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(N, 3, 3, C, C).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(N, 3, 3, C, C).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(N, C).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(N, C).astype(np.float32) * 0.1)
+    want = R.resblock_chain_xla(x, w1, b1, w2, b2)
+    got = R.resblock_chain_paired_auto(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))

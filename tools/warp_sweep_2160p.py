@@ -137,6 +137,92 @@ def quad_slice_warp_s2d(image, flow, row_block=0, col_block=0, halo=97):
     return out.reshape(1, hl, wl, 16 * c)
 
 
+def blockpack_warp_s2d(image, flow, row_block=240, col_block=512, halo=97):
+    """Tap-pack PER BLOCK from the raw image slab: skips materializing the
+    global (H, W, 4C) packed tensor and the per-block layout copies that
+    XLA inserts around it."""
+    b, h, w, c = image.shape
+    assert b == 1
+    dtype = image.dtype
+    iy, ix, ay, ax = _corner_coords(image.shape, flow, dtype)
+    img3 = image[0]
+    sr, sc = row_block + 2 * halo, col_block + 2 * halo
+    nr, nc = h // row_block, w // col_block
+
+    def do_block(k):
+        r0 = (k // nc) * row_block
+        c0 = (k % nc) * col_block
+        s0 = jnp.clip(r0 - halo, 0, h - sr - 1)
+        q0 = jnp.clip(c0 - halo, 0, w - sc - 1)
+        slab = jax.lax.dynamic_slice(img3, (s0, q0, 0), (sr + 1, sc + 1, c))
+        packed = jnp.concatenate([
+            slab[:sr, :sc], slab[:sr, 1:], slab[1:, :sc], slab[1:, 1:],
+        ], axis=-1).reshape(sr * sc, 4 * c)
+        iy_b = jnp.clip(
+            jax.lax.dynamic_slice(iy, (0, r0, c0), (1, row_block, col_block)) - s0,
+            0, sr - 1)
+        ix_b = jnp.clip(
+            jax.lax.dynamic_slice(ix, (0, r0, c0), (1, row_block, col_block)) - q0,
+            0, sc - 1)
+        ay_b = jax.lax.dynamic_slice(ay, (0, r0, c0, 0), (1, row_block, col_block, 1))
+        ax_b = jax.lax.dynamic_slice(ax, (0, r0, c0, 0), (1, row_block, col_block, 1))
+        base = (iy_b * sc + ix_b).reshape(row_block * col_block, 1)
+        g = jnp.take_along_axis(packed, base, axis=0)
+        return _lerp(g.reshape(1, row_block, col_block, 4, c), ay_b, ax_b)
+
+    outs = jax.lax.map(do_block, jnp.arange(nr * nc))
+    outs = outs.reshape(nr, nc, 1, row_block, col_block, c)
+    out = outs.transpose(2, 0, 3, 1, 4, 5).reshape(1, h, w, c)
+    hl, wl = h // 4, w // 4
+    out = out.reshape(1, hl, 4, wl, 4, c).transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(1, hl, wl, 16 * c)
+
+
+def pairgather_warp_s2d(image, flow, row_block=240, col_block=512, halo=97):
+    """Two 6-wide 1D gathers from the raw flat slab (top pair / bottom pair
+    per output pixel): 2x the indices of tap-packing, but a 4x smaller
+    operand working set and no packing pass at all."""
+    b, h, w, c = image.shape
+    assert b == 1 and c == 3
+    dtype = image.dtype
+    iy, ix, ay, ax = _corner_coords(image.shape, flow, dtype)
+    img3 = image[0]
+    sr, sc = row_block + 2 * halo, col_block + 2 * halo
+    nr, nc = h // row_block, w // col_block
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+
+    def do_block(k):
+        r0 = (k // nc) * row_block
+        c0 = (k % nc) * col_block
+        s0 = jnp.clip(r0 - halo, 0, h - sr - 1)
+        q0 = jnp.clip(c0 - halo, 0, w - sc - 1)
+        slab = jax.lax.dynamic_slice(img3, (s0, q0, 0), (sr + 1, sc + 1, c))
+        flat = slab.reshape((sr + 1) * (sc + 1) * c)
+        iy_b = jnp.clip(
+            jax.lax.dynamic_slice(iy, (0, r0, c0), (1, row_block, col_block)) - s0,
+            0, sr - 1)
+        ix_b = jnp.clip(
+            jax.lax.dynamic_slice(ix, (0, r0, c0), (1, row_block, col_block)) - q0,
+            0, sc - 1)
+        ay_b = jax.lax.dynamic_slice(ay, (0, r0, c0, 0), (1, row_block, col_block, 1))
+        ax_b = jax.lax.dynamic_slice(ax, (0, r0, c0, 0), (1, row_block, col_block, 1))
+        base = ((iy_b * (sc + 1) + ix_b) * c).reshape(-1, 1)
+        top = jax.lax.gather(flat, base, dn, slice_sizes=(2 * c,),
+                             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        bot = jax.lax.gather(flat, base + (sc + 1) * c, dn, slice_sizes=(2 * c,),
+                             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        g = jnp.concatenate([top, bot], axis=-1)
+        return _lerp(g.reshape(1, row_block, col_block, 4, c), ay_b, ax_b)
+
+    outs = jax.lax.map(do_block, jnp.arange(nr * nc))
+    outs = outs.reshape(nr, nc, 1, row_block, col_block, c)
+    out = outs.transpose(2, 0, 3, 1, 4, 5).reshape(1, h, w, c)
+    hl, wl = h // 4, w // 4
+    out = out.reshape(1, hl, 4, wl, 4, c).transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(1, hl, wl, 16 * c)
+
+
 def main() -> None:
     h, w = 2160, 3840
     dtype = jnp.bfloat16
@@ -149,17 +235,12 @@ def main() -> None:
 
     for name, fn in [("baseline 240x512",
                       lambda im, fl: warp_space_to_depth(im, fl, 4)),
-                     ("cw_blocked", cw_blocked_warp_s2d),
-                     ("cw 216x480",
-                      lambda im, fl: cw_blocked_warp_s2d(im, fl, 216, 480)),
-                     ("quad_unblocked",
-                      lambda im, fl: quad_slice_warp_s2d(im, fl)),
-                     ("quad 240x512",
-                      lambda im, fl: quad_slice_warp_s2d(im, fl, 240, 512)),
-                     ("quad 432x960",
-                      lambda im, fl: quad_slice_warp_s2d(im, fl, 432, 960)),
-                     ("quad 540x1920",
-                      lambda im, fl: quad_slice_warp_s2d(im, fl, 540, 1920))]:
+                     ("blockpack 240x512", blockpack_warp_s2d),
+                     ("blockpack 216x480",
+                      lambda im, fl: blockpack_warp_s2d(im, fl, 216, 480)),
+                     ("pairgather 240x512", pairgather_warp_s2d),
+                     ("pairgather 216x480",
+                      lambda im, fl: pairgather_warp_s2d(im, fl, 216, 480))]:
         try:
             got = np.asarray(fn(img, flow), np.float32)
             diff = np.abs(want - got).max()
