@@ -45,7 +45,7 @@ def conv2(
 #: (matches ops/warp.py's large-frame threshold; tiny/test shapes keep the
 #: plain conv so CPU golden tests are unaffected).
 _FOLD_THRESHOLD_PIXELS = 2_000_000
-_FOLD_GROUP = 8
+_FOLD_GROUP = 32
 
 
 class NarrowOutputConv(nn.Module):

@@ -10,6 +10,10 @@ XLA-native:
 - **spatial sharding** for huge-frame streaming inference (the "context
   parallelism" analog for video SR): frame height sharded over a ``space``
   axis; XLA spatial partitioning inserts the conv halo exchanges.
+- **pipeline parallel** streaming: the frame-parallel flow stage (fnet +
+  flow upsample) on one device feeding the sequential warp+generator scan
+  on another (parallel/pipeline.py; the module docstring derives why
+  classic layer pipelining cannot overlap a strict frame recurrence).
 """
 
 from tecogan_tpu.parallel.mesh import (
@@ -20,6 +24,7 @@ from tecogan_tpu.parallel.mesh import (
     shard_batch,
 )
 from tecogan_tpu.parallel.dp import DataParallelTrainer
+from tecogan_tpu.parallel.pipeline import PipelinedStreamingSR
 from tecogan_tpu.parallel.spatial import spatial_streaming_fn
 
 __all__ = [
@@ -29,5 +34,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "DataParallelTrainer",
+    "PipelinedStreamingSR",
     "spatial_streaming_fn",
 ]
