@@ -84,6 +84,12 @@ class TecoConfig:
     param_dtype: str = "float32"
     remat_generator: bool = True     # per-frame rematerialisation in train scan
     infer_chunk: int = 16            # frames per scan chunk at inference
+    fold_input_s2d: str = "off"      # fold the post-warp space-to-depth into
+    #   a stride-4 HR input conv at inference ("off"|"auto"|"on"; "auto" =
+    #   large frames only). Measured NEGATIVE at 2160p (81.0 -> 89.1
+    #   ms/frame: the 12x12 stride-4 im2col costs more than the s2d it
+    #   removes) — kept as a tested option for other geometries. See
+    #   models/generator.py:generator_apply_hr_input.
     fused_trunk: str = "off"         # Pallas resblock trunk at inference:
     #   "off" = never (default: wins isolated — 38.2 vs 49.6 ms at 540x960 —
     #   but loses ~13 ms/frame inside the streaming scan, where XLA's chain

@@ -62,6 +62,88 @@ class Generator(nn.Module):
         return preprocess(net)
 
 
+def generator_apply_hr_input(params, lr, warped_hr, num_resblock: int = 16):
+    """Generator forward consuming the RAW warped HR frame — the
+    space-to-depth pack is folded into the input stage as a stride-4 conv.
+
+    Identity: ``conv3x3(concat(lr, s2d(warped, 4)))`` equals
+    ``conv3x3(lr-part) + conv12x12_stride4(warped)`` with the HR kernel
+    built by scattering the 48 s2d input channels back to their HR offsets:
+    ``k_hr[4*dy+r, 4*dx+s, c] = k[dy, dx, 3 + (r*4+s)*3 + c]`` (TF s2d
+    channel order, reference main.py:201). This skips materializing the
+    (B, H, W, 48) packed tensor and its lane-interleave transpose —
+    measured ~4.7 ms/frame at 2160p (tools/trace_2160p.py). Inference-only
+    path; takes the SAME param tree as :class:`Generator`.
+
+    Args:
+      lr: (B, h, w, 3) LR frame in [0, 1].
+      warped_hr: (B, 4h, 4w, 3) warped previous HR output in [0, 1].
+    """
+    p = params
+    dtype = lr.dtype
+    k = p["input_stage_conv"]["kernel"].astype(dtype)  # (3, 3, 51, 64)
+    b = p["input_stage_conv"]["bias"].astype(dtype)
+    k_lr = k[:, :, :3, :]
+    # (3, 3, 48, C) -> (3, 4, 4, 3, C) [dy, r, s, rgb] -> (12, 12, 3, C).
+    k_hr = k[:, :, 3:, :].reshape(3, 3, 4, 4, 3, k.shape[-1])
+    k_hr = k_hr.transpose(0, 2, 1, 3, 4, 5).reshape(12, 12, 3, k.shape[-1])
+    a = jax.lax.conv_general_dilated(
+        lr, k_lr, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    c = jax.lax.conv_general_dilated(
+        warped_hr, k_hr, (4, 4), ((4, 4), (4, 4)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    net = jax.nn.relu(a + c + b)
+    return _generator_tail(p, net, lr, num_resblock)
+
+
+def _generator_tail(p, net, lr, num_resblock):
+    """Trunk + upsample + output stages on the input-stage activation
+    (shared by the fused-input forward paths; matches Generator.apply)."""
+    dtype = net.dtype
+
+    def conv(name, v):
+        k = p[name]["kernel"].astype(v.dtype)
+        out = jax.lax.conv_general_dilated(
+            v, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + p[name]["bias"].astype(v.dtype)
+
+    def conv_tran(name, v):
+        k = p[name]["kernel"].astype(v.dtype)
+        out = jax.lax.conv_transpose(
+            v, k, (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True)
+        return out + p[name]["bias"].astype(v.dtype)
+
+    for i in range(1, num_resblock + 1):
+        skip = net
+        net = jax.nn.relu(conv(f"resblock_{i}_conv_1", net))
+        net = conv(f"resblock_{i}_conv_2", net) + skip
+
+    net = jax.nn.relu(conv_tran("conv_tran1", net))
+    net = jax.nn.relu(conv_tran("conv_tran2", net))
+
+    from tecogan_tpu.models.layers import _FOLD_GROUP, _FOLD_THRESHOLD_PIXELS
+    bsz, hh, ww, _ = net.shape
+    if hh * ww > _FOLD_THRESHOLD_PIXELS and ww % _FOLD_GROUP == 0:
+        g = _FOLD_GROUP
+        k = p["output_stage_conv"]["kernel"].astype(dtype)
+        kw = jnp.zeros((3, g + 2, k.shape[2], g * 3), dtype)
+        for j in range(g):
+            kw = kw.at[:, j:j + 3, :, j * 3:(j + 1) * 3].set(k)
+        out = jax.lax.conv_general_dilated(
+            net, kw, (1, g), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        net = out.reshape(bsz, hh, ww, 3) + \
+            p["output_stage_conv"]["bias"].astype(dtype)
+    else:
+        net = conv("output_stage_conv", net)
+    net = net + bicubic_four(lr)
+    return preprocess(net)
+
+
 def generator_apply_fused(params, x, num_resblock: int = 16):
     """Pure-pytree generator forward with the residual trunk fused into
     Pallas launches (kernels/resblocks.py pair-packed chain; whole-image in

@@ -30,9 +30,16 @@ import numpy as np
 
 from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.models import FNet, Generator
-from tecogan_tpu.models.generator import generator_apply_fused
+from tecogan_tpu.models.generator import (
+    generator_apply_fused,
+    generator_apply_hr_input,
+)
 from tecogan_tpu.ops import deprocess
-from tecogan_tpu.ops.warp import warp_space_to_depth, warp_space_to_depth_halo
+from tecogan_tpu.ops.warp import (
+    dense_image_warp,
+    warp_space_to_depth,
+    warp_space_to_depth_halo,
+)
 from tecogan_tpu.recurrent.step import (
     RecurrentState,
     frame_step,
@@ -50,6 +57,11 @@ _MAX_IN_FLIGHT = 2
 # LR pixels above which the fused Pallas trunk beats XLA's conv chain in
 # the streaming step (v5e: loses at 144x180, wins at 540x960).
 _FUSED_TRUNK_MIN_PIXELS = 250_000
+
+# HR pixels above which fold_input_s2d="auto" folds the space-to-depth
+# pack into the generator's stride-4 HR input conv (the full-frame s2d
+# transpose costs ~4.7 ms at 2160p, tools/trace_2160p.py).
+_FOLD_S2D_MIN_HR_PIXELS = 2_000_000
 
 
 def prepend_warmup(frames: List) -> List:
@@ -131,6 +143,18 @@ class StreamingSR:
         spatial_mesh = self.spatial_mesh
         sp_axis = self.config.sp_axis
         max_disp = 4.0 * self.config.flow_max_velocity
+        num_rb = self.config.num_resblock
+
+        s2d_mode = self.config.fold_input_s2d
+        s2d_ok = spatial_mesh is None and self.config.gen_channels == 64
+
+        def use_hr_input(lr):
+            # Compile-time branch (shapes static at trace time).
+            if not s2d_ok or s2d_mode == "off":
+                return False
+            if s2d_mode == "on":
+                return True
+            return 16 * lr.shape[1] * lr.shape[2] > _FOLD_S2D_MIN_HR_PIXELS
 
         def warp(prev_hr, flow):
             # On a spatial mesh, use the explicit shard_map halo-exchange
@@ -161,11 +185,18 @@ class StreamingSR:
 
             def body(st, xs):
                 lr, flow = xs
-                packed = warp(st.prev_hr, flow)
-                gen_out = gen_apply(
-                    {"params": gen_params},
-                    jnp.concatenate([lr, packed], axis=-1),
-                )
+                if use_hr_input(lr):
+                    # Raw warp; the s2d pack is folded into the generator's
+                    # stride-4 HR input conv (models/generator.py).
+                    warped = dense_image_warp(st.prev_hr, flow)
+                    gen_out = generator_apply_hr_input(
+                        gen_params, lr, warped, num_resblock=num_rb)
+                else:
+                    packed = warp(st.prev_hr, flow)
+                    gen_out = gen_apply(
+                        {"params": gen_params},
+                        jnp.concatenate([lr, packed], axis=-1),
+                    )
                 hr = deprocess(gen_out)
                 st = RecurrentState(prev_lr=lr, prev_hr=hr)
                 if as_uint8:  # reference ops.py:520-523 quantization, on device

@@ -155,3 +155,44 @@ def test_generator_apply_fused_matches_flax(rng):
     a = np.asarray(gen.apply({"params": p}, x))
     b = np.asarray(generator_apply_fused(p, x, num_resblock=3))
     np.testing.assert_array_equal(a, b)
+
+
+def test_generator_apply_hr_input_matches_flax(rng):
+    """s2d folded into a stride-4 HR input conv == flax Generator on
+    concat(lr, s2d(warped)) (models/generator.py:generator_apply_hr_input)."""
+    import jax
+    from tecogan_tpu.models.generator import Generator, generator_apply_hr_input
+    from tecogan_tpu.ops import space_to_depth
+
+    h, w = 12, 16
+    gen = Generator(num_resblock=3, channels=64)
+    lr = jnp.asarray(rng.rand(2, h, w, 3).astype(np.float32))
+    warped = jnp.asarray(rng.rand(2, 4 * h, 4 * w, 3).astype(np.float32))
+    x = jnp.concatenate([lr, space_to_depth(warped, 4)], axis=-1)
+    p = gen.init(jax.random.PRNGKey(0), x)["params"]
+    want = gen.apply({"params": p}, x)
+    got = generator_apply_hr_input(p, lr, warped, num_resblock=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_fold_input_s2d_matches_default():
+    """StreamingSR(fold_input_s2d='on') == default path, bit-for-bit ops
+    modulo float reassociation."""
+    import jax
+    from tecogan_tpu.config import TecoConfig
+    from tecogan_tpu.models import FNet, Generator
+    from tecogan_tpu.recurrent.inference import StreamingSR
+
+    h, w = 16, 16
+    cfg = TecoConfig(num_resblock=2, compute_dtype="float32", infer_chunk=3)
+    gen = Generator(num_resblock=2, channels=cfg.gen_channels)
+    fnet = FNet(channels=cfg.fnet_channels, up_channels=cfg.fnet_up_channels,
+                max_velocity=cfg.flow_max_velocity)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    gp = gen.init(k1, jnp.zeros((1, h, w, 51)))["params"]
+    fp = fnet.init(k2, jnp.zeros((1, h, w, 6)))["params"]
+    frames = np.random.RandomState(1).rand(5, h, w, 3).astype(np.float32)
+    ref, _ = StreamingSR(cfg, gp, fp).run(frames)
+    got, _ = StreamingSR(cfg.replace(fold_input_s2d="on"), gp, fp).run(frames)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
