@@ -84,6 +84,13 @@ class TecoConfig:
     param_dtype: str = "float32"
     remat_generator: bool = True     # per-frame rematerialisation in train scan
     infer_chunk: int = 16            # frames per scan chunk at inference
+    inline_flow: str = "off"         # compute the 4x flow upsample + gather
+    #   coords per warp tile from the LR flow instead of materializing the
+    #   full-frame HR flow ("off"|"auto"|"on"; "auto" = blocked-warp frames
+    #   only). Matches the global path to 1 ulp (ops/warp.py:
+    #   dense_image_warp_flowlr); shrinks the scan's flow input 16x.
+    #   Measured NEUTRAL on v5e (within noise at both 576x720 and 2160p —
+    #   XLA's global coordinate passes are already bandwidth-efficient).
     fold_input_s2d: str = "off"      # fold the post-warp space-to-depth into
     #   a stride-4 HR input conv at inference ("off"|"auto"|"on"; "auto" =
     #   large frames only). Measured NEGATIVE at 2160p (81.0 -> 89.1

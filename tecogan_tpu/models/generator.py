@@ -125,10 +125,10 @@ def _generator_tail(p, net, lr, num_resblock):
     net = jax.nn.relu(conv_tran("conv_tran1", net))
     net = jax.nn.relu(conv_tran("conv_tran2", net))
 
-    from tecogan_tpu.models.layers import _FOLD_GROUP, _FOLD_THRESHOLD_PIXELS
+    from tecogan_tpu.models.layers import _FOLD_THRESHOLD_PIXELS, _fold_group
     bsz, hh, ww, _ = net.shape
-    if hh * ww > _FOLD_THRESHOLD_PIXELS and ww % _FOLD_GROUP == 0:
-        g = _FOLD_GROUP
+    g = _fold_group(ww)
+    if hh * ww > _FOLD_THRESHOLD_PIXELS and g:
         k = p["output_stage_conv"]["kernel"].astype(dtype)
         kw = jnp.zeros((3, g + 2, k.shape[2], g * 3), dtype)
         for j in range(g):
@@ -191,10 +191,10 @@ def generator_apply_fused(params, x, num_resblock: int = 16):
     net = jax.nn.relu(conv_tran("conv_tran1", net))
     net = jax.nn.relu(conv_tran("conv_tran2", net))
     # Same column-folded narrow-output conv as the flax module.
-    from tecogan_tpu.models.layers import _FOLD_GROUP, _FOLD_THRESHOLD_PIXELS
+    from tecogan_tpu.models.layers import _FOLD_THRESHOLD_PIXELS, _fold_group
     bsz, hh, ww, _ = net.shape
-    if hh * ww > _FOLD_THRESHOLD_PIXELS and ww % _FOLD_GROUP == 0:
-        g = _FOLD_GROUP
+    g = _fold_group(ww)
+    if hh * ww > _FOLD_THRESHOLD_PIXELS and g:
         k = p["output_stage_conv"]["kernel"].astype(net.dtype)
         kw = jnp.zeros((3, g + 2, k.shape[2], g * 3), net.dtype)
         for j in range(g):

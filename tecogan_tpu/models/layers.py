@@ -41,11 +41,25 @@ def conv2(
     )(x)
 
 
-#: Apply the column-folded narrow-output conv above this output pixel count
-#: (matches ops/warp.py's large-frame threshold; tiny/test shapes keep the
-#: plain conv so CPU golden tests are unaffected).
+#: Apply the column-folded narrow-output conv above this output pixel count.
+#: In-context A/B on v5e: folding WINS at 2160x3840 (g=32: step 83.5 ->
+#: 80.6 ms) but LOSES at 576x720 (any g: 5.19 -> 5.55+ ms/frame — the
+#: strided-conv layout work outweighs the small N=3 conv there), so the
+#: threshold sits between the two production sizes.
 _FOLD_THRESHOLD_PIXELS = 2_000_000
-_FOLD_GROUP = 32
+_FOLD_GROUP = 32  # preferred group; _fold_group() adapts to the width
+
+
+def _fold_group(w: int) -> int:
+    """Largest fold group dividing ``w`` (0 = no fold possible).
+
+    N = group*3 output channels: wider groups fill more MXU lanes
+    (g=32 -> N=96; 1080p sweep in BASELINE.md), but the group must divide
+    the row width (3840 -> 32, 720 -> 24)."""
+    for g in (32, 24, 16, 8):
+        if w % g == 0:
+            return g
+    return 0
 
 
 class NarrowOutputConv(nn.Module):
@@ -80,8 +94,8 @@ class NarrowOutputConv(nn.Module):
         from flax.linen.dtypes import promote_dtype
         x, k, b = promote_dtype(x, k, b, dtype=self.dtype)
         bsz, h, w, _ = x.shape
-        g = _FOLD_GROUP
-        if h * w > _FOLD_THRESHOLD_PIXELS and w % g == 0:
+        g = _fold_group(w)
+        if h * w > _FOLD_THRESHOLD_PIXELS and g:
             kw = jnp.zeros((3, g + 2, in_f, g * self.features), k.dtype)
             for j in range(g):
                 kw = kw.at[:, j:j + 3, :, j * self.features:

@@ -44,6 +44,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _corner_coords(
@@ -365,6 +366,136 @@ def warp_space_to_depth_halo(
         in_specs=(P(None, axis), P(None, axis)),
         out_specs=P(None, axis),
     )(image, flow)
+
+
+def dense_image_warp_flowlr(
+    image: jnp.ndarray,
+    flow_lr: jnp.ndarray,
+    max_displacement: float = _DEFAULT_MAX_DISPLACEMENT,
+    row_block: int = 240,
+    col_block: int = 512,
+) -> jnp.ndarray:
+    """Blocked warp with the 4x flow upsample and gather coordinates
+    computed PER TILE from the LR flow.
+
+    Semantically ``dense_image_warp(image, upscale_bilinear(flow_lr*4, 4))``
+    up to 1-ulp einsum reassociation in the per-tile upsample
+    (the recurrent pipeline's exact flow path, reference main.py:212-215):
+    the legacy TF bilinear phase weights are applied to a (rb/4+1, cb/4+1)
+    LR flow slab inside each gather tile. This removes the full-frame HR
+    flow / coordinate materializations — at 2160p those cost ~8.6 ms/frame
+    (~6.4 ms of clip/floor/select passes over four 33 MB coordinate grids
+    plus ~2.2 ms of flow-upsample layout copies, tools/trace_2160p.py) and
+    their HBM traffic; per-tile they fuse into the gather prologue.
+
+    Requires H*W > the blocking threshold and tile sides divisible by 4
+    (guaranteed for the production 2160p geometry); callers fall back to
+    the global-flow path otherwise.
+
+    Args:
+      image: (B, H, W, C) HR image.
+      flow_lr: (B, H/4, W/4, 2) LR flow in LR pixel units (fnet output,
+        already padded to the LR grid — ``pad_flow_to``).
+    """
+    b, h, w, c = image.shape
+    dtype = image.dtype
+    assert flow_lr.shape[1] * 4 == h and flow_lr.shape[2] * 4 == w
+
+    if b > 1:  # same rationale as dense_image_warp's per-image map
+        def one(args):
+            im, fl = args
+            return dense_image_warp_flowlr(
+                im[None], fl[None], max_displacement=max_displacement,
+                row_block=row_block, col_block=col_block)[0]
+        return jax.lax.map(one, (image, flow_lr))
+
+    halo = int(max_displacement) + 1
+    rb = _snap_block(h, row_block)
+    cb = _snap_block(w, col_block)
+    if (h * w <= _BLOCK_THRESHOLD_PIXELS or rb % 4 or cb % 4
+            or h <= 2 * halo + rb or w <= 2 * halo + cb):
+        from tecogan_tpu.ops.resize import upscale_bilinear
+
+        flow_hr = upscale_bilinear(flow_lr * 4.0, 4)
+        return dense_image_warp(image, flow_hr,
+                                max_displacement=max_displacement,
+                                row_block=row_block, col_block=col_block)
+
+    # LR flow scaled to HR units, then replicate-padded bottom/right so the
+    # per-tile +1 taps never leave the array (matches upscale_bilinear's
+    # edge replication; scale-then-upsample order matches upscale_flow).
+    fp = flow_lr * jnp.asarray(4.0, flow_lr.dtype)
+    fp = jnp.concatenate([fp, fp[:, -1:]], axis=1)
+    fp = jnp.concatenate([fp, fp[:, :, -1:]], axis=2)[0]  # (hl+1, wl+1, 2)
+
+    from tecogan_tpu.ops.resize import _bilinear_phase_weights
+
+    wp = _bilinear_phase_weights(4)
+    wgt = jnp.asarray(
+        np.einsum("pa,qd->pqad", wp, wp), dtype=flow_lr.dtype)  # (4,4,2,2)
+
+    packed = _tap_pack(image)
+    sr, sc = rb + 2 * halo, cb + 2 * halo
+    nr, nc = h // rb, w // cb
+    coord_dtype = jnp.promote_types(flow_lr.dtype, jnp.float32)
+
+    def do_block(k):
+        r0 = (k // nc) * rb
+        c0 = (k % nc) * cb
+        # --- inline legacy-bilinear flow upsample on the LR slab ---
+        fs = jax.lax.dynamic_slice(
+            fp, (r0 // 4, c0 // 4, 0), (rb // 4 + 1, cb // 4 + 1, 2))
+        corners = jnp.stack([
+            jnp.stack([fs[:-1, :-1], fs[:-1, 1:]], axis=0),
+            jnp.stack([fs[1:, :-1], fs[1:, 1:]], axis=0),
+        ], axis=0)  # (2, 2, ib, jb, 2ch)
+        fl = jnp.einsum("pqad,adhwc->hpwqc", wgt, corners,
+                        precision="highest").reshape(rb, cb, 2)
+        # --- gather coordinates for this tile (f32; see _corner_coords) ---
+        fl32 = fl.astype(coord_dtype)
+        gy = (r0 + jnp.arange(rb, dtype=jnp.int32)).astype(coord_dtype)[:, None]
+        gx = (c0 + jnp.arange(cb, dtype=jnp.int32)).astype(coord_dtype)[None, :]
+        qy = gy - fl32[..., 0]
+        qx = gx - fl32[..., 1]
+        fy = jnp.clip(jnp.floor(qy), 0.0, h - 2)
+        fx = jnp.clip(jnp.floor(qx), 0.0, w - 2)
+        ay = jnp.clip(qy - fy, 0.0, 1.0)[None, ..., None].astype(dtype)
+        ax = jnp.clip(qx - fx, 0.0, 1.0)[None, ..., None].astype(dtype)
+        s0 = jnp.clip(r0 - halo, 0, h - sr)
+        q0 = jnp.clip(c0 - halo, 0, w - sc)
+        iy_b = jnp.clip(fy.astype(jnp.int32) - s0, 0, sr - 1)
+        ix_b = jnp.clip(fx.astype(jnp.int32) - q0, 0, sc - 1)
+        slab = jax.lax.dynamic_slice(packed, (0, s0, q0, 0), (1, sr, sc, 4 * c))
+        base = (iy_b * sc + ix_b).reshape(1, rb * cb, 1)
+        g = jnp.take_along_axis(slab.reshape(1, sr * sc, 4 * c), base, axis=1)
+        return _lerp(g.reshape(1, rb, cb, 4, c), ay, ax)
+
+    outs = jax.lax.map(do_block, jnp.arange(nr * nc))
+    outs = outs.reshape(nr, nc, 1, rb, cb, c)
+    return outs.transpose(2, 0, 3, 1, 4, 5).reshape(1, h, w, c)
+
+
+def warp_space_to_depth_flowlr(
+    image: jnp.ndarray,
+    flow_lr: jnp.ndarray,
+    block: int = 4,
+    scale: float = 1.0,
+    shift: float = 0.0,
+    max_displacement: float = _DEFAULT_MAX_DISPLACEMENT,
+    row_block: int = 240,
+    col_block: int = 512,
+) -> jnp.ndarray:
+    """``space_to_depth(scale * dense_image_warp_flowlr(...) + shift)`` —
+    the LR-flow-driven form of :func:`warp_space_to_depth`."""
+    b, h, w, c = image.shape
+    assert h % block == 0 and w % block == 0, (h, w, block)
+    dtype = image.dtype
+    out = dense_image_warp_flowlr(image, flow_lr,
+                                  max_displacement=max_displacement,
+                                  row_block=row_block, col_block=col_block)
+    if scale != 1.0 or shift != 0.0:
+        out = out * jnp.asarray(scale, dtype) + jnp.asarray(shift, dtype)
+    return _s2d_tile(out, block)
 
 
 def dense_image_warp_reference(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:

@@ -34,10 +34,13 @@ from tecogan_tpu.models.generator import (
     generator_apply_fused,
     generator_apply_hr_input,
 )
+from tecogan_tpu.models.fnet import pad_flow_to
 from tecogan_tpu.ops import deprocess
 from tecogan_tpu.ops.warp import (
+    _BLOCK_THRESHOLD_PIXELS,
     dense_image_warp,
     warp_space_to_depth,
+    warp_space_to_depth_flowlr,
     warp_space_to_depth_halo,
 )
 from tecogan_tpu.recurrent.step import (
@@ -156,6 +159,15 @@ class StreamingSR:
                 return True
             return 16 * lr.shape[1] * lr.shape[2] > _FOLD_S2D_MIN_HR_PIXELS
 
+        flow_mode = self.config.inline_flow
+
+        def use_inline_flow(h, w):
+            # Per-tile flow upsample only pays on blocked-warp frames;
+            # dense_image_warp_flowlr falls back internally regardless.
+            if spatial_mesh is not None or flow_mode == "off":
+                return False
+            return flow_mode == "on" or 16 * h * w > _BLOCK_THRESHOLD_PIXELS
+
         def warp(prev_hr, flow):
             # On a spatial mesh, use the explicit shard_map halo-exchange
             # warp whenever shard geometry allows (GSPMD all-gathers the
@@ -174,25 +186,35 @@ class StreamingSR:
         @functools.partial(jax.jit, donate_argnums=(2,))
         def run_chunk(gen_params, fnet_params, state, lr_chunk):
             t, b, h, w, c = lr_chunk.shape
+            inline = use_inline_flow(h, w)
             # Adjacent pairs incl. the carried previous frame.
             prev = jnp.concatenate([state.prev_lr[None], lr_chunk[:-1]], axis=0)
             pairs = jnp.concatenate([prev, lr_chunk], axis=-1)
             flow_lr = fnet_apply(
                 {"params": fnet_params}, pairs.reshape(t * b, h, w, 2 * c)
             )
-            flow_hr = upscale_flow(flow_lr, h, w)
-            flow_hr = flow_hr.reshape(t, b, 4 * h, 4 * w, 2)
+            if inline:
+                # Scan carries the LR flow (16x smaller); the warp upsamples
+                # per tile (ops/warp.py:dense_image_warp_flowlr).
+                flow_x = pad_flow_to(flow_lr, h, w).reshape(t, b, h, w, 2)
+            else:
+                flow_x = upscale_flow(flow_lr, h, w).reshape(
+                    t, b, 4 * h, 4 * w, 2)
 
             def body(st, xs):
                 lr, flow = xs
-                if use_hr_input(lr):
+                if use_hr_input(lr) and not inline:
                     # Raw warp; the s2d pack is folded into the generator's
                     # stride-4 HR input conv (models/generator.py).
                     warped = dense_image_warp(st.prev_hr, flow)
                     gen_out = generator_apply_hr_input(
                         gen_params, lr, warped, num_resblock=num_rb)
                 else:
-                    packed = warp(st.prev_hr, flow)
+                    if inline:
+                        packed = warp_space_to_depth_flowlr(
+                            st.prev_hr, flow, 4)
+                    else:
+                        packed = warp(st.prev_hr, flow)
                     gen_out = gen_apply(
                         {"params": gen_params},
                         jnp.concatenate([lr, packed], axis=-1),
@@ -207,7 +229,7 @@ class StreamingSR:
                     out = hr.astype(jnp.float32)
                 return st, out
 
-            state, hr = jax.lax.scan(body, state, (lr_chunk, flow_hr))
+            state, hr = jax.lax.scan(body, state, (lr_chunk, flow_x))
             return state, hr
 
         if self.spatial_mesh is not None:

@@ -196,3 +196,25 @@ def test_streaming_fold_input_s2d_matches_default():
     ref, _ = StreamingSR(cfg, gp, fp).run(frames)
     got, _ = StreamingSR(cfg.replace(fold_input_s2d="on"), gp, fp).run(frames)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_inline_flow_matches_default():
+    """StreamingSR(inline_flow='on') == default path (the per-tile flow
+    upsample is bit-exact vs the global legacy bilinear; ops/warp.py)."""
+    import jax
+    from tecogan_tpu.config import TecoConfig
+    from tecogan_tpu.models import FNet, Generator
+    from tecogan_tpu.recurrent.inference import StreamingSR
+
+    h, w = 16, 16
+    cfg = TecoConfig(num_resblock=2, compute_dtype="float32", infer_chunk=3)
+    gen = Generator(num_resblock=2, channels=cfg.gen_channels)
+    fnet = FNet(channels=cfg.fnet_channels, up_channels=cfg.fnet_up_channels,
+                max_velocity=cfg.flow_max_velocity)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    gp = gen.init(k1, jnp.zeros((1, h, w, 51)))["params"]
+    fp = fnet.init(k2, jnp.zeros((1, h, w, 6)))["params"]
+    frames = np.random.RandomState(2).rand(5, h, w, 3).astype(np.float32)
+    ref, _ = StreamingSR(cfg, gp, fp).run(frames)
+    got, _ = StreamingSR(cfg.replace(inline_flow="on"), gp, fp).run(frames)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

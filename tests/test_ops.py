@@ -346,3 +346,28 @@ def test_blocked_warp_tile_s2d_matches_oracle(rng, monkeypatch):
                               row_block=16, col_block=16) ** 2))(
         jnp.asarray(image))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_warp_flowlr_matches_global(rng):
+    """Per-tile flow-upsample warp == global upscale_flow + warp up to
+    1-ulp einsum reassociation (ops/warp.py:dense_image_warp_flowlr)."""
+    from unittest import mock
+
+    import tecogan_tpu.ops.warp as W
+    from tecogan_tpu.ops.resize import upscale_bilinear
+
+    with mock.patch.object(W, "_BLOCK_THRESHOLD_PIXELS", 1000):
+        for dtype, atol in ((jnp.float32, 1e-6), (jnp.bfloat16, 0.008)):
+            h, w = 128, 96
+            img = jnp.asarray(rng.rand(2, h, w, 3), dtype)
+            flow_lr = jnp.asarray(
+                (rng.rand(2, h // 4, w // 4, 2) - 0.5) * 24, dtype)
+            flow_hr = upscale_bilinear(flow_lr * 4.0, 4)
+            want = W.warp_space_to_depth(
+                img, flow_hr, 4, scale=0.5, shift=0.5,
+                row_block=32, col_block=32)
+            got = W.warp_space_to_depth_flowlr(
+                img, flow_lr, 4, scale=0.5, shift=0.5,
+                row_block=32, col_block=32)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=0, atol=atol)
