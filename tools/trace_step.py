@@ -1,0 +1,121 @@
+"""Per-op device trace of any jitted step (streaming chunk or train step).
+
+Aggregates the 'XLA Ops' device timeline by op name (excluding the outer
+`while` wrappers, which double-count their children) and prints the top
+costs with HLO metadata. This is the in-context ground truth — isolated
+op benchmarks on this backend mislead badly (CLAUDE.md "Hard-won facts").
+
+Usage:
+  python tools/trace_step.py stream [H W chunk]   # StreamingSR chunk step
+  python tools/trace_step.py train [frvsr|tecogan]
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.models import FNet, Generator
+
+
+def _report(trace_dir: str, frames: int) -> None:
+    path = sorted(glob.glob(
+        f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(path) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    dev_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    op_tids = {(e["pid"], e["tid"]) for e in ev
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e.get("args", {}).get("name") == "XLA Ops"
+               and e["pid"] in dev_pids}
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    meta = {}
+    for e in ev:
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids:
+            name = e["name"]
+            if name.startswith("while"):
+                continue
+            tot[name] += e.get("dur", 0)
+            cnt[name] += 1
+            a = e.get("args", {})
+            meta[name] = (a.get("tf_op") or a.get("long_name") or "")[:95]
+    total_us = sum(tot.values())
+    print(f"device total (excl. while wrappers): "
+          f"{total_us / 1e3 / frames:.2f} ms/frame-or-step")
+    for name, us in tot.most_common(40):
+        print(f"{us / 1e3 / frames:8.3f} x{cnt[name]:<4d} "
+              f"{name[:42]:42s} {meta[name]}")
+
+
+def trace_stream(h: int, w: int, chunk: int) -> None:
+    from tecogan_tpu.recurrent.inference import StreamingSR
+    from tecogan_tpu.recurrent.step import init_state
+
+    cfg = TecoConfig(num_resblock=16, compute_dtype="bfloat16",
+                     infer_chunk=chunk)
+    gen = Generator(num_resblock=16, channels=cfg.gen_channels,
+                    dtype=jnp.bfloat16)
+    fnet = FNet(channels=cfg.fnet_channels,
+                up_channels=cfg.fnet_up_channels,
+                max_velocity=cfg.flow_max_velocity, dtype=jnp.bfloat16)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    gp = gen.init(k1, jnp.zeros((1, h, w, 51)))["params"]
+    fp = fnet.init(k2, jnp.zeros((1, h, w, 6)))["params"]
+    sr = StreamingSR(cfg, gp, fp, output="uint8")
+    fn = sr._build_chunk_fn()
+    lr = jnp.asarray(np.random.RandomState(0).rand(chunk, 1, h, w, 3),
+                     jnp.bfloat16)
+    state = init_state(1, h, w, jnp.bfloat16)
+    state, hr = fn(gp, fp, state, lr)
+    float(jax.device_get(jnp.sum(hr.astype(jnp.float32))))
+    jax.profiler.start_trace("/tmp/trace_step")
+    state, hr = fn(gp, fp, state, lr)
+    float(jax.device_get(jnp.sum(hr.astype(jnp.float32))))
+    jax.profiler.stop_trace()
+    _report("/tmp/trace_step", chunk)
+
+
+def trace_train(mode: str) -> None:
+    from tecogan_tpu.train.trainer import Trainer
+
+    cfg = TecoConfig(
+        num_resblock=10 if mode == "frvsr" else 16,
+        batch_size=4, crop_size=32, rnn_n=10, learning_rate=5e-5,
+        ratio=-0.01 if mode == "frvsr" else 0.01,
+        pingpong=mode != "frvsr", vgg_scaling=-0.002,
+        compute_dtype="bfloat16")
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    tar = cfg.hr_load_size
+    batch = jnp.asarray(
+        np.random.RandomState(0).rand(4, 10, tar, tar, 3), jnp.float32)
+    state, m = trainer.train_step(state, batch)
+    float(jax.device_get(list(m.values())[0]))
+    jax.profiler.start_trace("/tmp/trace_step")
+    state, m = trainer.train_step(state, batch)
+    float(jax.device_get(list(m.values())[0]))
+    jax.profiler.stop_trace()
+    _report("/tmp/trace_step", 1)
+
+
+if __name__ == "__main__":
+    kind = sys.argv[1] if len(sys.argv) > 1 else "stream"
+    if kind == "train":
+        trace_train(sys.argv[2] if len(sys.argv) > 2 else "tecogan")
+    else:
+        h = int(sys.argv[2]) if len(sys.argv) > 2 else 540
+        w = int(sys.argv[3]) if len(sys.argv) > 3 else 960
+        chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        trace_stream(h, w, chunk)
