@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial_shards", type=int, default=1,
                    help="shard frame height over N devices at inference "
                         "(GSPMD halo exchanges; for 2160p-class frames)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="pipeline the flow stage onto a second device "
+                        "(parallel/pipeline.py; needs >= 2 devices)")
     p.add_argument("--compute_dtype", default=None)
     p.add_argument("--no_mesh", action="store_true",
                    help="force single-device training")
@@ -161,13 +164,19 @@ def run_inference(args, config) -> None:
         max_frames=args.max_frames,
     )
     gen_params, fnet_params = load_inference_params(args, config)
-    spatial_mesh = None
-    if args.spatial_shards > 1:
-        from tecogan_tpu.parallel import make_mesh
+    if args.pipeline:
+        from tecogan_tpu.parallel import PipelinedStreamingSR
 
-        spatial_mesh = make_mesh({config.sp_axis: args.spatial_shards})
-    sr = StreamingSR(config, gen_params, fnet_params, output="uint8",
-                     spatial_mesh=spatial_mesh)
+        sr = PipelinedStreamingSR(config, gen_params, fnet_params,
+                                  output="uint8")
+    else:
+        spatial_mesh = None
+        if args.spatial_shards > 1:
+            from tecogan_tpu.parallel import make_mesh
+
+            spatial_mesh = make_mesh({config.sp_axis: args.spatial_shards})
+        sr = StreamingSR(config, gen_params, fnet_params, output="uint8",
+                         spatial_mesh=spatial_mesh)
     hr, secs = sr.run(data.inputs, warmup=WARMUP_FRAMES)
     n = data.inputs.shape[0]
     print(f"total time {secs:.2f}, frame number {n}")  # main.py:270 format
