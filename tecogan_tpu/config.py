@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Tuple
+from typing import Any, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,7 +82,12 @@ class TecoConfig:
     # --- precision & performance (TPU-native knobs, no reference analog) ---
     compute_dtype: str = "float32"   # "bfloat16" for MXU-friendly inference
     param_dtype: str = "float32"
-    remat_generator: bool = True     # per-frame rematerialisation in train scan
+    remat_generator: Any = "auto"    # per-frame rematerialisation in the
+    #   train scan: True | False | "auto" (remat only when the unrolled
+    #   generator activations would exceed ~4 GB). At the reference config
+    #   (batch 4, crop 32, 19-frame ping-pong) activations are ~1.5 GB and
+    #   remat's recompute costs 8% step time for nothing (191.5 -> 176.8
+    #   ms/step measured on v5e), so "auto" turns it off there.
     infer_chunk: int = 16            # frames per scan chunk at inference
     inline_flow: str = "off"         # compute the 4x flow upsample + gather
     #   coords per warp tile from the LR flow instead of materializing the

@@ -44,6 +44,22 @@ from tecogan_tpu.recurrent.step import (
 from tecogan_tpu.train import losses as L
 
 
+_REMAT_BUDGET_BYTES = 4 << 30  # unrolled-activation size above which "auto" remats
+
+
+def resolve_remat(config: TecoConfig) -> bool:
+    """True/False pass through; "auto" remats only when the scan-unrolled
+    generator activations would stress HBM (reference config: ~1.5 GB ->
+    no remat, 8% faster; crop 128 would be ~24 GB -> remat)."""
+    if config.remat_generator != "auto":
+        return bool(config.remat_generator)
+    px = config.crop_size ** 2 * config.batch_size * config.unroll_frames
+    layers = 2 * config.num_resblock + 2  # LR trunk activations
+    upsample = 2 * (4 + 16)               # 2x/4x stages (relu'd convT pairs)
+    est = px * config.gen_channels * (layers + upsample) * 2  # bf16
+    return est > _REMAT_BUDGET_BYTES
+
+
 def lr_schedule(config: TecoConfig):
     """tf.train.exponential_decay parity (reference Teco.py:97-98)."""
     return optax.exponential_decay(
@@ -228,7 +244,7 @@ class Trainer:
         flow_lr, flow_hr = flows_for_sequence(self.fnet.apply, fnet_params, r_inputs)
         gen_outputs, _ = unroll_generator(
             self.generator.apply, gen_params, r_inputs, flow_hr,
-            remat=cfg.remat_generator,
+            remat=resolve_remat(cfg),
         )
 
         b, t = gen_outputs.shape[0], gen_outputs.shape[1]
