@@ -203,17 +203,28 @@ class BatchLoader:
         self.seed = cfg.rand_seed if seed is None else seed
         self.num_threads = num_threads or max(1, cfg.queue_thread)
         self.prefetch = prefetch or cfg.prefetch_depth
-        if executor not in ("python", "native"):
-            raise ValueError(f"executor must be python|native, got {executor}")
+        if executor not in ("python", "native", "auto"):
+            raise ValueError(
+                f"executor must be python|native|auto, got {executor}")
         self._native = None
-        if executor == "native":
-            from tecogan_tpu.data.native_loader import NativeExecutor
+        if executor in ("native", "auto"):
+            # The C++ decoder is ~2x the python (cv2) executor and is the
+            # one that keeps up with the 33.6 ms/step FRVSR device step
+            # (tools/bench_loader.py: 19.0 vs 38.3 ms/batch); "auto" falls
+            # back to python when the library can't build (e.g. no g++).
+            try:
+                from tecogan_tpu.data.native_loader import NativeExecutor
 
-            self._native = NativeExecutor(
-                num_threads=self.num_threads,
-                rnn_n=cfg.rnn_n,
-                tar=cfg.hr_load_size,
-            )
+                self._native = NativeExecutor(
+                    num_threads=self.num_threads,
+                    rnn_n=cfg.rnn_n,
+                    tar=cfg.hr_load_size,
+                )
+            except Exception:
+                if executor == "native":
+                    raise
+                print("BatchLoader: native decoder unavailable, using the "
+                      "python executor (slower; see tools/bench_loader.py)")
         self._queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=self.prefetch)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None

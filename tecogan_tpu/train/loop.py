@@ -150,10 +150,11 @@ def train(
     shard_kw = dict(shard_id=jax.process_index(),
                     num_shards=jax.process_count())
     dataset = SceneDataset(config, validation=False)
-    loader = BatchLoader(dataset, **shard_kw)
+    loader = BatchLoader(dataset, executor="auto", **shard_kw)
     try:
         val_loader = BatchLoader(SceneDataset(config, validation=True),
-                                 seed=config.rand_seed + 1, **shard_kw)
+                                 seed=config.rand_seed + 1, executor="auto",
+                                 **shard_kw)
     except FileNotFoundError:
         val_loader = None
     print(f"Dataset: {len(dataset.scenes)} scenes, {len(dataset)} windows, "
