@@ -36,6 +36,13 @@ class Generator(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, 51) in [0,1] -> (B, 4H, 4W, 3) in [-1, 1]."""
+        if self.dtype is not None:
+            # Cast at entry: the convs promote internally, but the bicubic
+            # skip would otherwise promote the whole output back to the
+            # input dtype — in bf16 training that silently made every HR
+            # activation (and the Dst warp + its 76 ms scatter backward)
+            # run in f32 (tools/trace_step.py train).
+            x = x.astype(self.dtype)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         lr = x[..., : self.out_channels]  # LR frame for the bicubic skip
 

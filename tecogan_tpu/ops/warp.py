@@ -99,6 +99,43 @@ _MAP_THRESHOLD_PIXELS = 250_000
 _DEFAULT_MAX_DISPLACEMENT = 96.0  # 4 * flow_max_velocity (frvsr.py:39-40)
 
 
+# NOT on any default path (measured NEGATIVE): a sort-based adjoint for the
+# batched gather — argsort cotangent rows by destination index, then
+# ``segment_sum(indices_are_sorted=True)``. Tried against the 72-frame f32
+# Dst-warp scatter backward (76 ms of a 169 ms TecoGAN step): the TecoGAN
+# step REGRESSED 173 -> 193 ms — the 1.18M-key sort + reorder gathers cost
+# more than the random scatter they replace. The actual fix was dtype: the
+# scatter was f32 only because of a generator dtype leak (models/generator.py).
+_SORTED_BWD_MIN_INDICES = None  # disabled; kept for study with tests
+
+
+@jax.custom_vjp
+def _gather_rows(packed_flat: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+    """``take_along_axis(packed_flat, base, axis=1)`` with the sort-based
+    adjoint described above (off the default path)."""
+    return jnp.take_along_axis(packed_flat, base, axis=1)
+
+
+def _gather_rows_fwd(packed_flat, base):
+    return _gather_rows(packed_flat, base), (base, packed_flat.shape[1])
+
+
+def _gather_rows_bwd(res, ct):
+    base, n_rows = res
+    idx = base[..., 0]                                     # (B, M)
+    order = jnp.argsort(idx, axis=1)
+    ids = jnp.take_along_axis(idx, order, axis=1)
+    cts = jnp.take_along_axis(ct, order[..., None], axis=1)
+    seg = jax.vmap(
+        lambda i, c: jax.ops.segment_sum(
+            c, i, num_segments=n_rows, indices_are_sorted=True)
+    )(ids, cts)
+    return seg, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def _snap_block(size: int, target: int) -> int:
     """Largest-near-target divisor of ``size`` (for uniform blocking)."""
     n_target = max(1, round(size / target))
@@ -184,7 +221,12 @@ def dense_image_warp(
     )
     if not use_blocks:
         base = (iy * w + ix).reshape(b, h * w, 1)
-        g = jnp.take_along_axis(packed.reshape(b, h * w, 4 * c), base, axis=1)
+        flat = packed.reshape(b, h * w, 4 * c)
+        if (_SORTED_BWD_MIN_INDICES is not None
+                and b * h * w >= _SORTED_BWD_MIN_INDICES):
+            g = _gather_rows(flat, base)  # sort-based adjoint (study only)
+        else:
+            g = jnp.take_along_axis(flat, base, axis=1)
         return epilogue(_lerp(g.reshape(b, h, w, 4, c), ay, ax))
 
     sr, sc = row_block + 2 * halo, col_block + 2 * halo

@@ -48,7 +48,10 @@ def pingpong_loss(gen_outputs: jnp.ndarray, rnn_n: int) -> jnp.ndarray:
     first = gen_outputs[:, 0 : rnn_n - 1]
     # flip, not a negative-step slice (TPU compiler SIGABRT at batch > 1).
     last_rev = jnp.flip(gen_outputs[:, -(rnn_n - 1) :], axis=1)
-    return jnp.mean(jnp.abs(first - last_rev))
+    # f32 reduction: gen_outputs may be bf16 (compute_dtype) and a plain
+    # bf16 mean over millions of elements loses the loss signal.
+    return jnp.mean(jnp.abs(first.astype(jnp.float32)
+                            - last_rev.astype(jnp.float32)))
 
 
 def vgg_cosine_loss(
@@ -59,7 +62,8 @@ def vgg_cosine_loss(
     per_layer = []
     total = 0.0
     for key in gen_feats:
-        cos = jnp.sum(gen_feats[key] * target_feats[key], axis=-1)
+        cos = jnp.sum(gen_feats[key].astype(jnp.float32)
+                      * target_feats[key].astype(jnp.float32), axis=-1)
         layer = 1.0 - jnp.mean(cos)
         per_layer.append(layer)
         total = total + layer
@@ -79,7 +83,8 @@ def d_layer_losses(
     raw = []
     total = 0.0
     for real, fake, norm in zip(real_layers, fake_layers, layer_norms):
-        layer = jnp.mean(jnp.sum(jnp.abs(real - fake), axis=-1))
+        layer = jnp.mean(jnp.sum(jnp.abs(
+            real.astype(jnp.float32) - fake.astype(jnp.float32)), axis=-1))
         raw.append(layer)
         total = total + fix_range * layer / norm
     return total, raw
@@ -138,7 +143,13 @@ def assemble_dst_inputs(
     t_size = 3 * (t // 3)
     t_batch = b * t_size // 3
 
-    t_targets = r_targets[:, :t_size].reshape(b * t_size, hr_h, hr_w, c)
+    # The whole D-input assembly runs in the model's compute dtype
+    # (= gen_outputs.dtype): the D forward promotes to it internally
+    # anyway, and an accidental f32 here made the batched warp's scatter
+    # backward the single largest op of the train step (tools/trace_step.py).
+    dtype = gen_outputs.dtype
+    t_targets = r_targets[:, :t_size].astype(dtype).reshape(
+        b * t_size, hr_h, hr_w, c)
     t_gen = gen_outputs[:, :t_size].reshape(b * t_size, hr_h, hr_w, c)
 
     # Flow triplets: forward, zero, backward (reference Teco.py:206-213).
@@ -160,7 +171,7 @@ def assemble_dst_inputs(
         start = t_flows - 2 - 3 * (n_trip - 1)  # ascending first index
         v_nxt = jnp.flip(flow_hr[:, start : t_flows - 1 : 3], axis=1)
     t_vel = jnp.stack([v_pre, v_mid, v_nxt], axis=2)
-    t_vel = t_vel.reshape(b * t_size, hr_h, hr_w, 2)
+    t_vel = t_vel.astype(dtype).reshape(b * t_size, hr_h, hr_w, 2)
     t_vel = jax.lax.stop_gradient(t_vel)  # no D gradient into fnet (Teco.py:214)
 
     # crop_dt box geometry (reference Teco.py:216-219).
@@ -191,7 +202,7 @@ def assemble_dst_inputs(
 
     # Bilinear-upscaled LR triplet, shared by real and fake (Teco.py:240-244).
     lr_h, lr_w = r_inputs.shape[2], r_inputs.shape[3]
-    t_in = r_inputs[:, :t_size].reshape(b * t_size, lr_h, lr_w, c)
+    t_in = r_inputs[:, :t_size].astype(dtype).reshape(b * t_size, lr_h, lr_w, c)
     t_in9 = _triplet_channels(t_in, t_batch, lr_h, lr_w, c)
     input_hi = upscale_bilinear(t_in9, 4)
 

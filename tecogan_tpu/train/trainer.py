@@ -297,6 +297,10 @@ class Trainer:
                 d_vars, fake27, mutable=["batch_stats"]
             )
 
+            # f32 log terms: D outputs may be bf16 (compute_dtype), where
+            # eps=1e-12 underflows and log loses the gradient signal.
+            d_real = d_real.astype(jnp.float32)
+            d_fake = d_fake.astype(jnp.float32)
             adv = jnp.mean(-jnp.log(d_fake + cfg.eps))
             dt_ratio = jnp.minimum(
                 cfg.dt_ratio_max, cfg.dt_ratio_0 + cfg.dt_ratio_add * step.astype(jnp.float32)
@@ -345,6 +349,8 @@ class Trainer:
             fake27,
             mutable=["batch_stats"],
         )
+        d_real = d_real.astype(jnp.float32)
+        d_fake = d_fake.astype(jnp.float32)
         d_loss = jnp.mean(
             -(jnp.log(1 - d_fake + cfg.eps) + jnp.log(d_real + cfg.eps))
         )

@@ -371,3 +371,26 @@ def test_warp_flowlr_matches_global(rng):
                 row_block=32, col_block=32)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=0, atol=atol)
+
+
+def test_sorted_gather_adjoint_matches_scatter(rng):
+    """The study-only sort-based gather adjoint (ops/warp.py:_gather_rows)
+    == take_along_axis autodiff, for image AND flow gradients."""
+    import jax
+    from unittest import mock
+
+    import tecogan_tpu.ops.warp as W
+
+    img = jnp.asarray(rng.rand(3, 20, 24, 3).astype(np.float32))
+    flow = jnp.asarray(((rng.rand(3, 20, 24, 2) - 0.5) * 10).astype(np.float32))
+    ct = jnp.asarray(rng.rand(3, 20, 24, 3).astype(np.float32))
+
+    def loss(im, fl):
+        return jnp.sum(W.dense_image_warp(im, fl) * ct)
+
+    with mock.patch.object(W, "_SORTED_BWD_MIN_INDICES", 1):
+        g_sorted = jax.grad(loss, argnums=(0, 1))(img, flow)
+    g_scatter = jax.grad(loss, argnums=(0, 1))(img, flow)
+    for a, b in zip(g_sorted, g_scatter):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
