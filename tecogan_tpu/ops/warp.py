@@ -97,6 +97,11 @@ _BLOCK_THRESHOLD_PIXELS = 2_000_000
 # (keeps each gather's working set to a single frame).
 _MAP_THRESHOLD_PIXELS = 250_000
 _DEFAULT_MAX_DISPLACEMENT = 96.0  # 4 * flow_max_velocity (frvsr.py:39-40)
+# Many-small-frame batched warps are chunked so each gather/scatter works on
+# roughly this many pixels (the geometry where the scatter backward was
+# measured fastest — see the chunked-map branch in dense_image_warp).
+_CHUNKED_MAP_MIN_INDICES = 500_000
+_CHUNK_TARGET_PIXELS = 65_536
 
 
 # NOT on any default path (measured NEGATIVE): a sort-based adjoint for the
@@ -205,6 +210,27 @@ def dense_image_warp(
                 s2d_block=s2d_block, scale=scale, shift=shift,
             )[0]
         return jax.lax.map(one, (image, flow))
+
+    # Many small frames (the training Dst-input warp: 72 frames of 128x128):
+    # one giant batched gather is fine forward, but its scatter-add BACKWARD
+    # over a channel-major (4C, B*H*W) operand ran at ~44 ns/index (52 ms of
+    # a 146 ms TecoGAN step) while the same op on 4-image chunks inside the
+    # training scan runs at ~11 ns/index. Chunk through lax.map so each
+    # scatter sees a cache-sized operand.
+    if (b >= 8 and h * w <= _MAP_THRESHOLD_PIXELS
+            and b * h * w >= _CHUNKED_MAP_MIN_INDICES):
+        chunk = max(1, _CHUNK_TARGET_PIXELS // (h * w))
+        if chunk > 1 and b % chunk == 0:
+            def few(args):
+                im, fl = args
+                return dense_image_warp(
+                    im, fl, max_displacement=max_displacement,
+                    row_block=row_block, col_block=col_block,
+                    s2d_block=s2d_block, scale=scale, shift=shift)
+            imgs = image.reshape(b // chunk, chunk, h, w, c)
+            fls = flow.reshape(b // chunk, chunk, h, w, 2)
+            out = jax.lax.map(few, (imgs, fls))
+            return out.reshape((b,) + out.shape[2:])
 
     iy, ix, ay, ax = _corner_coords(image.shape, flow, dtype)
     packed = _tap_pack(image)
