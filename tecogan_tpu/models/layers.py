@@ -71,8 +71,9 @@ class NarrowOutputConv(nn.Module):
     2160p (tools/trace_2160p.py), the single slowest op of the streaming
     step. The folded form is a stride-(1, group) conv with a 3x(group+2)
     kernel whose blocks are shifted copies of the 3x3 kernel: every output
-    pixel still sees exactly its own 3x3xC window (identical taps, bit-equal
-    on TPU at group=8, tools/gen_ablate.py), then a free row-major reshape
+    pixel still sees exactly its own 3x3xC window (identical taps; bit-equal
+    on TPU at group=8, within 1 bf16 ulp at wider groups where the im2col
+    accumulation order differs — tools/gen_ablate.py), then a free reshape
     (W/group, 3*group) -> (W, 3). Saves ~6.7 ms/frame at 2160p.
 
     Param layout matches ``nn.Conv`` (kernel (3,3,in,out), bias (out,)) so
