@@ -45,7 +45,7 @@ from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.models import FNet, Generator
 from tecogan_tpu.ops import deprocess
 from tecogan_tpu.ops.warp import warp_space_to_depth
-from tecogan_tpu.recurrent.inference import WARMUP_FRAMES, _MAX_IN_FLIGHT
+from tecogan_tpu.recurrent.inference import _MAX_IN_FLIGHT
 from tecogan_tpu.recurrent.step import RecurrentState, init_state, upscale_flow
 
 

@@ -45,7 +45,6 @@ from tecogan_tpu.ops.warp import (
 )
 from tecogan_tpu.recurrent.step import (
     RecurrentState,
-    frame_step,
     init_state,
     upscale_flow,
 )
