@@ -421,3 +421,42 @@ def test_chunked_map_warp_matches_batched(rng):
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_warp_paths_fuzz_shapes(rng):
+    """Randomized shapes across the warp's dispatch branches (unblocked /
+    per-image map / chunked map / 2D-blocked) all match the 4-gather
+    oracle (ops/warp.py:dense_image_warp_reference)."""
+    from unittest import mock
+
+    import tecogan_tpu.ops.warp as W
+    from tecogan_tpu.ops.warp import dense_image_warp_reference
+
+    cases = [
+        # (b, h, w, patches) exercising each branch via threshold patches
+        (1, 37, 53, {}),                                      # unblocked, odd dims
+        (3, 33, 47, {"_MAP_THRESHOLD_PIXELS": 1000}),         # per-image map
+        (8, 24, 16, {"_CHUNKED_MAP_MIN_INDICES": 1}),         # chunked map
+        (1, 96, 80, {"_BLOCK_THRESHOLD_PIXELS": 1000}),       # 2D-blocked
+        (2, 64, 72, {"_BLOCK_THRESHOLD_PIXELS": 1000,
+                     "_MAP_THRESHOLD_PIXELS": 1000}),         # map + blocked
+    ]
+    for b, h, w, patches in cases:
+        img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+        flow = jnp.asarray(
+            ((rng.rand(b, h, w, 2) - 0.5) * 7).astype(np.float32))
+        want = dense_image_warp_reference(img, flow)
+        with mock.patch.multiple(W, **patches) if patches else _nullctx():
+            got = W.dense_image_warp(img, flow, max_displacement=8.0,
+                                     row_block=16, col_block=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"case b={b} h={h} w={w} {patches}")
+
+
+class _nullctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
