@@ -152,43 +152,67 @@ def load_inference_params(args, config):
 
 
 def run_inference(args, config) -> None:
-    """Streaming inference over a PNG directory (reference main.py:180-270)."""
-    import cv2
+    """Streaming inference over a PNG directory (reference main.py:180-270).
 
-    from tecogan_tpu.data.inference import load_inference_frames
+    Host I/O rides the native libpng thread pool end-to-end: frames decode
+    in parallel up front, upload as uint8 (device-side normalize), and HR
+    chunks are PNG-encoded on a background thread while the device computes
+    the next chunk — the reference does all three serially on the session
+    thread (main.py:253-270)."""
+    from tecogan_tpu.data.inference import FrameWriter, load_inference_frames
     from tecogan_tpu.recurrent.inference import WARMUP_FRAMES, StreamingSR
 
     data = load_inference_frames(
         input_dir_lr=args.input_dir_LR,
         input_dir_hr=args.input_dir_HR,
         max_frames=args.max_frames,
+        as_uint8=True,
     )
+    if args.pipeline and args.spatial_shards > 1:
+        raise SystemExit(
+            "--pipeline and --spatial_shards are mutually exclusive "
+            "parallelism strategies; pass exactly one"
+        )
     gen_params, fnet_params = load_inference_params(args, config)
+    out_dir = os.path.join(args.output_dir, args.output_pre)
     if args.pipeline:
         from tecogan_tpu.parallel import PipelinedStreamingSR
+        import cv2
 
         sr = PipelinedStreamingSR(config, gen_params, fnet_params,
                                   output="uint8")
-    else:
-        spatial_mesh = None
-        if args.spatial_shards > 1:
-            from tecogan_tpu.parallel import make_mesh
+        inputs = data.inputs
+        if inputs.dtype == np.uint8:  # pipeline path takes f32
+            inputs = inputs.astype(np.float32) / 255.0
+        hr, secs = sr.run(inputs, warmup=WARMUP_FRAMES)
+        n = inputs.shape[0]
+        print(f"total time {secs:.2f}, frame number {n}")  # main.py:270 format
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(hr.shape[0]):
+            cv2.imwrite(os.path.join(
+                out_dir, f"{args.output_name}_{i:04d}.{args.output_ext}"),
+                hr[i][:, :, ::-1])
+        print(f"Wrote {hr.shape[0]} frames to {out_dir}")
+        return
 
-            spatial_mesh = make_mesh({config.sp_axis: args.spatial_shards})
-        sr = StreamingSR(config, gen_params, fnet_params, output="uint8",
-                         spatial_mesh=spatial_mesh)
-    hr, secs = sr.run(data.inputs, warmup=WARMUP_FRAMES)
+    spatial_mesh = None
+    if args.spatial_shards > 1:
+        from tecogan_tpu.parallel import make_mesh
+
+        spatial_mesh = make_mesh({config.sp_axis: args.spatial_shards})
+    sr = StreamingSR(config, gen_params, fnet_params, output="uint8",
+                     spatial_mesh=spatial_mesh)
+    writer = FrameWriter(out_dir, name=args.output_name,
+                         ext=args.output_ext, warmup=WARMUP_FRAMES,
+                         num_threads=config.queue_thread)
+    try:
+        _, secs = sr.run(data.inputs, warmup=WARMUP_FRAMES,
+                         on_chunk=writer.submit)
+    finally:
+        written = writer.close()
     n = data.inputs.shape[0]
     print(f"total time {secs:.2f}, frame number {n}")  # main.py:270 format
-
-    out_dir = os.path.join(args.output_dir, args.output_pre)
-    os.makedirs(out_dir, exist_ok=True)
-    for i in range(hr.shape[0]):
-        path = os.path.join(
-            out_dir, f"{args.output_name}_{i:04d}.{args.output_ext}"
-        )
-        cv2.imwrite(path, hr[i][:, :, ::-1])
-    print(f"Wrote {hr.shape[0]} frames to {out_dir}")
+    print(f"Wrote {written} frames to {out_dir}")
 
 
 def run_train(args, config) -> None:

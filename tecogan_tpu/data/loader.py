@@ -212,6 +212,11 @@ class BatchLoader:
             # one that keeps up with the 33.6 ms/step FRVSR device step
             # (tools/bench_loader.py: 19.0 vs 38.3 ms/batch); "auto" falls
             # back to python when the library can't build (e.g. no g++).
+            # Only build/load failures fall back (missing g++/libpng etc.);
+            # a genuine bug in the native path must not silently degrade to
+            # the ~2x-slower python executor.
+            import subprocess as _sp
+
             try:
                 from tecogan_tpu.data.native_loader import NativeExecutor
 
@@ -220,11 +225,14 @@ class BatchLoader:
                     rnn_n=cfg.rnn_n,
                     tar=cfg.hr_load_size,
                 )
-            except Exception:
+            except (ImportError, OSError, _sp.CalledProcessError) as exc:
                 if executor == "native":
                     raise
-                print("BatchLoader: native decoder unavailable, using the "
-                      "python executor (slower; see tools/bench_loader.py)")
+                detail = exc.stderr.decode(errors="replace").strip() if isinstance(
+                    exc, _sp.CalledProcessError) and exc.stderr else exc
+                print("BatchLoader: native decoder unavailable "
+                      f"({type(exc).__name__}: {detail}); using the python "
+                      "executor (slower; see tools/bench_loader.py)")
         self._queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=self.prefetch)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None

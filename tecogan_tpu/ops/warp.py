@@ -597,6 +597,7 @@ def warp_space_to_depth(
     shift: float = 0.0,
     row_block: int = 240,
     col_block: int = 512,
+    max_displacement: float = _DEFAULT_MAX_DISPLACEMENT,
 ) -> jnp.ndarray:
     """Fused ``space_to_depth(scale * dense_image_warp(image, flow) + shift)``.
 
@@ -626,7 +627,8 @@ def warp_space_to_depth(
     # than one full-frame s2d), so the production path packs after the warp.
     dtype = image.dtype
     out = dense_image_warp(image, flow, row_block=row_block,
-                           col_block=col_block)
+                           col_block=col_block,
+                           max_displacement=max_displacement)
     if scale != 1.0 or shift != 0.0:
         out = out * jnp.asarray(scale, dtype) + jnp.asarray(shift, dtype)
     return _s2d_tile(out, block)

@@ -95,6 +95,7 @@ class PipelinedStreamingSR:
         fnet_apply = self.fnet.apply
         gen_apply = self.generator.apply
         as_uint8 = self.output == "uint8"
+        max_disp = 4.0 * self.config.flow_max_velocity
 
         def flow_chunk(fnet_params, prev_last, lr_chunk):
             """(T, B, h, w, 3) + carried previous frame -> (T, B, 4h, 4w, 2).
@@ -116,7 +117,8 @@ class PipelinedStreamingSR:
 
             def body(st, xs):
                 lr, flow = xs
-                packed = warp_space_to_depth(st.prev_hr, flow, 4)
+                packed = warp_space_to_depth(st.prev_hr, flow, 4,
+                                             max_displacement=max_disp)
                 gen_out = gen_apply(
                     {"params": gen_params},
                     jnp.concatenate([lr, packed], axis=-1))

@@ -180,10 +180,21 @@ class StreamingSR:
                     return warp_space_to_depth_halo(
                         prev_hr, flow, spatial_mesh, sp_axis, 4,
                         max_displacement=max_disp)
-            return warp_space_to_depth(prev_hr, flow, 4)
+            return warp_space_to_depth(prev_hr, flow, 4,
+                                       max_displacement=max_disp)
+
+        compute_dtype = self.dtype
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def run_chunk(gen_params, fnet_params, state, lr_chunk):
+            if lr_chunk.dtype == jnp.uint8:
+                # uint8 uploads: 4x less host->device traffic than f32. The
+                # on-device /255 matches the host normalization it replaces
+                # (reference dataloader.py:32-36) to 1 ulp — XLA lowers the
+                # constant division to a reciprocal multiply — which flips
+                # ~1e-5 of output uint8 pixels by +-1 (tests pin this bound).
+                lr_chunk = (lr_chunk.astype(jnp.float32) / 255.0).astype(
+                    compute_dtype)
             t, b, h, w, c = lr_chunk.shape
             inline = use_inline_flow(h, w)
             # Adjacent pairs incl. the carried previous frame.
@@ -205,13 +216,14 @@ class StreamingSR:
                 if use_hr_input(lr) and not inline:
                     # Raw warp; the s2d pack is folded into the generator's
                     # stride-4 HR input conv (models/generator.py).
-                    warped = dense_image_warp(st.prev_hr, flow)
+                    warped = dense_image_warp(st.prev_hr, flow,
+                                              max_displacement=max_disp)
                     gen_out = generator_apply_hr_input(
                         gen_params, lr, warped, num_resblock=num_rb)
                 else:
                     if inline:
                         packed = warp_space_to_depth_flowlr(
-                            st.prev_hr, flow, 4)
+                            st.prev_hr, flow, 4, max_displacement=max_disp)
                     else:
                         packed = warp(st.prev_hr, flow)
                     gen_out = gen_apply(
@@ -256,19 +268,30 @@ class StreamingSR:
         frames: np.ndarray,
         warmup: int = 0,
         chunk: Optional[int] = None,
-    ) -> Tuple[np.ndarray, float]:
+        on_chunk=None,
+    ) -> Tuple[Optional[np.ndarray], float]:
         """Super-resolve a sequence.
 
         Args:
-          frames: (T, h, w, 3) float32 LR frames in [0, 1] (warm-up padding
-            already applied by the caller if desired).
+          frames: (T, h, w, 3) LR frames — float32 in [0, 1], or uint8
+            (normalized on device; 4x less upload traffic) — warm-up padding
+            already applied by the caller if desired.
           warmup: number of leading outputs to drop from the result.
           chunk: frames per device chunk (default config.infer_chunk).
+          on_chunk: optional ``fn(hr_frames, start_index)`` called with each
+            fetched chunk ((n, 4h, 4w, 3), global output index of its first
+            frame) as soon as it lands — lets the caller overlap PNG
+            encoding with device compute instead of serializing after the
+            full run (reference main.py:262-269 writes per frame inline).
+            ``start_index`` counts from 0 INCLUDING warm-up frames; frames
+            before ``warmup`` are not delivered. When set, the full output
+            array is not accumulated and the first return value is None.
 
         Returns:
-          (T - warmup, 4h, 4w, 3) HR frames (float32 in [0, 1] or uint8 per
-          ``output``), and wall-clock seconds spent (includes host<->device
-          transfers — same accounting as reference main.py:256-260).
+          ((T - warmup, 4h, 4w, 3) HR frames (float32 in [0, 1] or uint8 per
+          ``output``) or None with ``on_chunk``, and wall-clock seconds spent
+          (includes host<->device transfers — same accounting as reference
+          main.py:256-260).
         """
         chunk = chunk or self.config.infer_chunk
         t, h, w, _ = frames.shape
@@ -282,8 +305,18 @@ class StreamingSR:
         # Dispatching the whole sequence first would hold O(T) HR frames on
         # device — ~12 GB for 120 frames of 2160p float32, an OOM at the
         # advertised long-sequence scale.
-        pending: List = []
         outs = []
+
+        def deliver(hr, n, start):
+            got = np.asarray(jax.device_get(hr))[:n, 0]
+            if on_chunk is not None:
+                if start + n > warmup:  # drop warm-up prefix
+                    keep = got[max(warmup - start, 0):]
+                    on_chunk(keep, max(start, warmup))
+            else:
+                outs.append(got)
+
+        pending: List = []
         for s in range(0, t, chunk):
             piece = frames[s : s + chunk]
             n = piece.shape[0]
@@ -291,14 +324,19 @@ class StreamingSR:
                 piece = np.concatenate(
                     [piece, np.repeat(piece[-1:], chunk - n, axis=0)], axis=0
                 )
-            lr = jnp.asarray(piece[:, None], self.dtype)  # (T, 1, h, w, 3)
+            if piece.dtype == np.uint8:
+                lr = jnp.asarray(piece[:, None])  # device-side normalize
+            else:
+                lr = jnp.asarray(piece[:, None], self.dtype)  # (T, 1, h, w, 3)
             state, hr = self._chunk_fn(self.gen_params, self.fnet_params, state, lr)
-            pending.append((hr, n))
+            pending.append((hr, n, s))
             if len(pending) >= _MAX_IN_FLIGHT:
-                ph, pn = pending.pop(0)
-                outs.append(np.asarray(jax.device_get(ph))[:pn, 0])
-        outs.extend(np.asarray(jax.device_get(hr))[:n, 0] for hr, n in pending)
+                deliver(*pending.pop(0))
+        for item in pending:
+            deliver(*item)
         elapsed = time.perf_counter() - t0
+        if on_chunk is not None:
+            return None, elapsed
         hrs = np.concatenate(outs, axis=0)
         return hrs[warmup:], elapsed
 

@@ -93,13 +93,17 @@ def d_layer_losses(
 # ---------------------------------------------------------------------------
 # Spatio-temporal discriminator input assembly (reference Teco.py:180-270)
 # ---------------------------------------------------------------------------
-def _triplet_channels(frames: jnp.ndarray, t_batch: int, h: int, w: int, c: int):
-    """(TB*3, H, W, C) -> (TB, H, W, 3C) with RRR GGG BBB channel order
-    (reference Teco.py:227-229: reshape to (tb,3,H,W,C), transpose to
-    (tb,H,W,C,3), merge last two)."""
-    x = frames.reshape(t_batch, 3, h, w, c)
+def _triplet_channels_grouped(x: jnp.ndarray):
+    """(TB, 3, H, W, C) -> (TB, H, W, 3C) with RRR GGG BBB channel order
+    (reference Teco.py:227-229: transpose to (tb,H,W,C,3), merge last two)."""
+    tb, _, h, w, c = x.shape
     x = x.transpose(0, 2, 3, 4, 1)
-    return x.reshape(t_batch, h, w, c * 3)
+    return x.reshape(tb, h, w, c * 3)
+
+
+def _triplet_channels(frames: jnp.ndarray, t_batch: int, h: int, w: int, c: int):
+    """(TB*3, H, W, C) -> (TB, H, W, 3C); see :func:`_triplet_channels_grouped`."""
+    return _triplet_channels_grouped(frames.reshape(t_batch, 3, h, w, c))
 
 
 def assemble_dst_inputs(
@@ -109,6 +113,7 @@ def assemble_dst_inputs(
     flow_hr: jnp.ndarray,
     config: TecoConfig,
     flow_hr_back: jnp.ndarray = None,
+    skip_identity_warp: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build the real/fake temporal-discriminator inputs.
 
@@ -135,6 +140,17 @@ def assemble_dst_inputs(
     ``flow_hr_back`` of shape (B, T//3, 4h, 4w, 2) computed by fnet on the
     reversed middle/next frame pairs (reference Teco.py:190-203).
 
+    ``skip_identity_warp``: the middle triplet member's flow is exactly zero
+    (reference Teco.py:207 warps it anyway), and a zero-flow bilinear warp is
+    an identity in both the forward (alpha=0 -> the top-left corner at
+    weight 1.0) and the VJP (unit scatter at the exact index) — so only the
+    outer 2/3 of the frames are warped, cutting a third of the train step's
+    largest op family (the chunked gather + scatter-add backward). The only
+    numeric delta vs warping is 1 ulp at the clamp-folded last row/column,
+    where the warp's lerp computes ``tl + (bl - tl) * 1.0`` — passthrough is
+    the MORE exact of the two. False keeps the all-frames warp as the parity
+    oracle for tests.
+
     Returns:
       (real, fake): each (B * T//3, 4h, 4w, 27) for Dst, or
       (B * T//3, crop_dt_box, crop_dt_box, 9) for pure Dt.
@@ -154,7 +170,6 @@ def assemble_dst_inputs(
 
     # Flow triplets: forward, zero, backward (reference Teco.py:206-213).
     v_pre = flow_hr[:, 0:t_size:3]
-    v_mid = jnp.zeros_like(v_pre)
     if flow_hr_back is not None:
         v_nxt = flow_hr_back
     else:
@@ -170,8 +185,17 @@ def assemble_dst_inputs(
         n_trip = t_size // 3
         start = t_flows - 2 - 3 * (n_trip - 1)  # ascending first index
         v_nxt = jnp.flip(flow_hr[:, start : t_flows - 1 : 3], axis=1)
-    t_vel = jnp.stack([v_pre, v_mid, v_nxt], axis=2)
-    t_vel = t_vel.astype(dtype).reshape(b * t_size, hr_h, hr_w, 2)
+    # Flows stay f32: the warp promotes coordinates to f32 internally, so a
+    # bf16 cast here would only quantize the sample positions (~0.4 px at the
+    # 96 px bound) without making any op cheaper.
+    if skip_identity_warp:
+        # Only the outer members carry flow; (TB*2, H, W, 2).
+        t_vel = jnp.stack([v_pre, v_nxt], axis=2)
+        t_vel = t_vel.astype(jnp.float32).reshape(t_batch * 2, hr_h, hr_w, 2)
+    else:
+        v_mid = jnp.zeros_like(v_pre)
+        t_vel = jnp.stack([v_pre, v_mid, v_nxt], axis=2)
+        t_vel = t_vel.astype(jnp.float32).reshape(b * t_size, hr_h, hr_w, 2)
     t_vel = jax.lax.stop_gradient(t_vel)  # no D gradient into fnet (Teco.py:214)
 
     # crop_dt box geometry (reference Teco.py:216-219).
@@ -180,8 +204,17 @@ def assemble_dst_inputs(
     crop = hr_h - 2 * off
 
     def build(frames_flat: jnp.ndarray) -> jnp.ndarray:
-        warped = dense_image_warp(frames_flat, t_vel)
-        warped9 = _triplet_channels(warped, t_batch, hr_h, hr_w, c)
+        if skip_identity_warp:
+            trips = frames_flat.reshape(t_batch, 3, hr_h, hr_w, c)
+            edges = trips[:, 0::2].reshape(t_batch * 2, hr_h, hr_w, c)
+            we = dense_image_warp(edges, t_vel)
+            we = we.reshape(t_batch, 2, hr_h, hr_w, c)
+            warped9 = _triplet_channels_grouped(
+                jnp.concatenate([we[:, :1], trips[:, 1:2], we[:, 1:]], axis=1)
+            )
+        else:
+            warped = dense_image_warp(frames_flat, t_vel)
+            warped9 = _triplet_channels(warped, t_batch, hr_h, hr_w, c)
         if not config.dt_mergeDs:
             # Pure Dt: crop without re-padding (Teco.py:230-231,265-266).
             if config.crop_dt < 1.0:
