@@ -110,6 +110,83 @@ def case2(root: str, scenes, extra) -> None:
     )
 
 
+def read_frameavg_csv(csv_path: str) -> dict:
+    """Extract the FrameAvg_* summary block from a metrics.csv written by
+    either this framework's eval suite or the reference's metrics.py
+    (identical stacked-block layout, reference metrics.py:231-236)."""
+    out = {}
+    with open(csv_path) as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    for i, ln in enumerate(lines):
+        if "FrameAvg_" in ln and i + 1 < len(lines):
+            cols = ln.split(",")
+            vals = lines[i + 1].split(",")
+            for c, v in zip(cols, vals):
+                if c.startswith("FrameAvg_") and v:
+                    out[c] = float(v)
+    return out
+
+
+def compare_parity(ours: dict, ref: dict,
+                   psnr_tol: float = 0.1, tof_rtol: float = 0.02) -> bool:
+    """North-star gate (BASELINE.md): PSNR within ``psnr_tol`` dB and tOF
+    within ``tof_rtol`` of the reference implementation's numbers."""
+    ok = True
+    if "FrameAvg_PSNR" in ref:
+        d = ours["FrameAvg_PSNR"] - ref["FrameAvg_PSNR"]
+        line_ok = abs(d) <= psnr_tol
+        ok &= line_ok
+        print(f"PSNR: ours {ours['FrameAvg_PSNR']:.4f} vs ref "
+              f"{ref['FrameAvg_PSNR']:.4f} (delta {d:+.4f} dB, tol "
+              f"{psnr_tol}) -> {'PASS' if line_ok else 'FAIL'}")
+    if "FrameAvg_tOF" in ref:
+        r = abs(ours["FrameAvg_tOF"] - ref["FrameAvg_tOF"]) / ref["FrameAvg_tOF"]
+        line_ok = r <= tof_rtol
+        ok &= line_ok
+        print(f"tOF: ours {ours['FrameAvg_tOF']:.4f} vs ref "
+              f"{ref['FrameAvg_tOF']:.4f} (rel {r:.4f}, tol {tof_rtol}) "
+              f"-> {'PASS' if line_ok else 'FAIL'}")
+    return ok
+
+
+def case_parity(root: str, scenes, extra, ref_csv=None) -> int:
+    """One-command pretrained-parity gate (BASELINE.md north star; VERDICT
+    r2 #5): with ``model/TecoGAN.npz`` dropped in place (case 0 prints the
+    conversion recipe), runs inference -> metrics and compares FrameAvg
+    PSNR/tOF against the reference implementation's metrics.csv.
+
+    ``ref_csv``: a metrics.csv produced by the reference's metrics.py on its
+    own case-1 outputs (same scenes). Defaults to ``<root>/ref_metrics.csv``
+    if present; without one, prints our numbers and the recipe.
+    """
+    model_npz = os.path.join(root, "model", "TecoGAN.npz")
+    if not os.path.exists(model_npz):
+        print(f"parity gate needs {model_npz}; run "
+              "`python -m tecogan_tpu.cli.run 0` for the conversion recipe")
+        return 2
+    case1(root, scenes, extra)
+    from tecogan_tpu.eval import evaluate_folders
+
+    dirstr = os.path.join(root, "results")
+    out = os.path.join(dirstr, "metric_log")
+    ours = evaluate_folders(
+        [os.path.join(dirstr, s) for s in scenes],
+        [os.path.join(root, "HR", s) for s in scenes],
+        out, keys=["PSNR", "tOF"], verbose=False,
+    )
+    ref_csv = ref_csv or os.path.join(root, "ref_metrics.csv")
+    if not os.path.exists(ref_csv):
+        print(f"ours: PSNR {ours['FrameAvg_PSNR']:.4f}, "
+              f"tOF {ours['FrameAvg_tOF']:.4f}")
+        print(f"no {ref_csv}: run the reference's `runGan.py 1; runGan.py 2` "
+              "on the same scenes and place its metrics.csv there to close "
+              "the gate")
+        return 2
+    ok = compare_parity(ours, read_frameavg_csv(ref_csv))
+    print("PARITY GATE:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def _train_case(root: str, preset: str, output_name: str, extra) -> None:
     train_dir = folder_check(os.path.join(root, output_name))
     cmd = [
@@ -128,23 +205,31 @@ def _train_case(root: str, preset: str, output_name: str, extra) -> None:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser("tecogan_tpu.cli.run")
-    p.add_argument("case", type=int, choices=[0, 1, 2, 3, 4])
+    p.add_argument("case", choices=["0", "1", "2", "3", "4", "parity"],
+                   help="0-4 mirror reference runGan.py; 'parity' = the "
+                        "one-command pretrained-parity gate (case 1 -> 2 -> "
+                        "compare vs the reference's metrics.csv)")
     p.add_argument("--root", default=".", help="data/model/results root")
     p.add_argument("--scenes", default="calendar",
                    help="comma-separated test scene names")
     p.add_argument("--allow_network", action="store_true")
+    p.add_argument("--ref_csv", default=None,
+                   help="reference metrics.csv for the parity gate")
     args, extra = p.parse_known_args(argv)
     scenes = args.scenes.split(",")
 
-    if args.case == 0:
+    if args.case == "parity":
+        raise SystemExit(case_parity(args.root, scenes, extra, args.ref_csv))
+    case = int(args.case)
+    if case == 0:
         case0(args.root, args.allow_network)
-    elif args.case == 1:
+    elif case == 1:
         case1(args.root, scenes, extra)
-    elif args.case == 2:
+    elif case == 2:
         case2(args.root, scenes, extra)
-    elif args.case == 3:
+    elif case == 3:
         _train_case(args.root, "tecogan", "ex_TecoGANmm-dd-hh", extra)
-    elif args.case == 4:
+    elif case == 4:
         _train_case(args.root, "frvsr", "ex_FRVSRmm-dd-hh", extra)
 
 

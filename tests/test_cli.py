@@ -167,3 +167,37 @@ def test_profiler_utils(tmp_path):
     with trace(str(tmp_path / "tr")):
         float(f(jnp.ones(())).sum())
     assert any((tmp_path / "tr").rglob("*"))
+
+
+def test_parity_gate_csv_roundtrip(tmp_path):
+    """The parity gate must read FrameAvg_* out of a stacked-block
+    metrics.csv (ours or the reference's identical layout) and apply the
+    north-star tolerances (BASELINE.md: 0.1 dB PSNR / 2% tOF)."""
+    from tecogan_tpu.cli.run import compare_parity, read_frameavg_csv
+    import pandas as pd
+
+    csv = tmp_path / "metrics.csv"
+    # Stacked blocks exactly as eval/suite.py (and reference metrics.py)
+    # write them: per-frame block, Avg_ block, FolderAvg_ block, FrameAvg_.
+    pd.DataFrame({"PSNR_00": pd.Series([25.0, 26.0])}).to_csv(csv, mode="w")
+    pd.DataFrame({"Avg_PSNR": pd.Series([25.5])}).to_csv(csv, mode="a")
+    pd.DataFrame({"FolderAvg_PSNR": pd.Series([25.5]),
+                  "FolderAvg_tOF": pd.Series([2.2])}).to_csv(csv, mode="a")
+    pd.DataFrame({"FrameAvg_PSNR": pd.Series([25.5]),
+                  "FrameAvg_tOF": pd.Series([2.2])}).to_csv(csv, mode="a")
+    ref = read_frameavg_csv(str(csv))
+    assert ref == {"FrameAvg_PSNR": 25.5, "FrameAvg_tOF": 2.2}
+
+    ours_pass = {"FrameAvg_PSNR": 25.45, "FrameAvg_tOF": 2.23}
+    ours_fail_psnr = {"FrameAvg_PSNR": 25.29, "FrameAvg_tOF": 2.2}
+    ours_fail_tof = {"FrameAvg_PSNR": 25.5, "FrameAvg_tOF": 2.35}
+    assert compare_parity(ours_pass, ref)
+    assert not compare_parity(ours_fail_psnr, ref)
+    assert not compare_parity(ours_fail_tof, ref)
+
+
+def test_parity_gate_requires_model(tmp_path):
+    from tecogan_tpu.cli.run import case_parity
+
+    rc = case_parity(str(tmp_path), ["calendar"], [])
+    assert rc == 2  # missing model/TecoGAN.npz -> instructions, no crash
