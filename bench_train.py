@@ -3,11 +3,14 @@ headline metric).
 
 Measures steady-state train-step time at the reference's canonical
 configuration (batch 4, crop 32, RNN_N 10 — reference runGan.py:147-163) for
-both FRVSR (case 4) and TecoGAN-without-VGG (case 3 minus the VGG term,
-whose pretrained weights are not distributable here). Reports
+FRVSR (case 4) and TecoGAN (case 3). ``tecogan --vgg`` is the full case-3
+step including the VGG19 perceptual term at ``--vgg_scaling 0.2`` (reference
+runGan.py:162-164, Teco.py:174-178) with RANDOM VGG weights — step cost is
+weight-independent, so this is the true hardware cost even though the
+pretrained vgg_19.ckpt is not distributable here. Reports
 images/sec * frame_len like the reference console (main.py:404-411).
 
-Usage: python bench_train.py [frvsr|tecogan]
+Usage: python bench_train.py [frvsr|tecogan] [--vgg]
 """
 
 from __future__ import annotations
@@ -27,17 +30,24 @@ def main() -> None:
     from tecogan_tpu.train.trainer import Trainer
     from tecogan_tpu.utils.profiling import device_time
 
-    mode = sys.argv[1] if len(sys.argv) > 1 else "frvsr"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = argv[0] if argv else "frvsr"
+    use_vgg = "--vgg" in sys.argv
     cfg = TecoConfig(
         num_resblock=10 if mode == "frvsr" else 16,
         batch_size=4, crop_size=32, rnn_n=10,
         learning_rate=5e-5,
         ratio=-0.01 if mode == "frvsr" else 0.01,
         pingpong=mode != "frvsr",
-        vgg_scaling=-0.002,  # VGG weights not distributable; term disabled
+        vgg_scaling=0.2 if use_vgg else -0.002,  # runGan.py:162-163
         compute_dtype="bfloat16",
     )
-    trainer = Trainer(cfg)
+    vgg_params = None
+    if use_vgg:
+        from tecogan_tpu.models.vgg19 import random_vgg19_params
+
+        vgg_params = random_vgg19_params()
+    trainer = Trainer(cfg, vgg_params=vgg_params)
     state = trainer.init_state(jax.random.PRNGKey(0))
     tar = cfg.hr_load_size
     batch = jnp.asarray(
@@ -54,7 +64,7 @@ def main() -> None:
     secs = device_time(step, batch, iters=10, warmup=3)
     ips = cfg.batch_size * cfg.unroll_frames / secs
     print(json.dumps({
-        "metric": f"train_step_{mode}",
+        "metric": f"train_step_{mode}" + ("_vgg" if use_vgg else ""),
         "value": round(ips, 1),
         "unit": "images/sec*frames",
         "step_ms": round(secs * 1e3, 1),

@@ -7,6 +7,11 @@
 // decode (libpng) + crop/flip + float conversion, assembling training
 // batches directly into a caller-provided buffer.
 //
+// It also serves streaming inference (reference main.py:253-270 reads and
+// writes one PNG per frame on the python thread): td_decode_frames /
+// td_encode_frames run whole frame sequences through the thread pool so
+// host PNG I/O overlaps device compute instead of serializing after it.
+//
 // Augmentation *decisions* (window choice, movingFirstFrame offsets, flip)
 // stay in Python so the RNG stream is identical to the pure-Python loader;
 // this library executes the plan. C ABI for ctypes.
@@ -77,6 +82,35 @@ Image decode_png_rgb(const char* path) {
   png_destroy_read_struct(&png, &info, nullptr);
   fclose(fp);
   return img;
+}
+
+// ----------------------------------------------------------------- encode
+// Write 8-bit RGB as a PNG. Compression level 1 (speed; PNG is lossless at
+// every level, so pixel parity with the reference's cv2.imwrite holds).
+bool encode_png_rgb(const char* path, const uint8_t* rgb, int h, int w) {
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return false;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_write_struct(&png, info ? &info : nullptr);
+    fclose(fp);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_set_compression_level(png, 1);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(rgb + static_cast<size_t>(y) * w * 3);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return true;
 }
 
 // ------------------------------------------------------------------- pool
@@ -254,6 +288,75 @@ int td_load_batch(void* handle, const char* const* paths, const int32_t* oy,
   }
   std::unique_lock<std::mutex> lk(mu);
   cv.wait(lk, [&] { return done.load() == n_seq; });
+  return err.load();
+}
+
+// Decode n same-geometry PNG frames in parallel into a contiguous
+// (n, h, w, 3) float32 [0, 1] buffer (streaming-inference input,
+// reference dataloader.py:11-50). h/w are taken from the first frame's
+// header; frames with different geometry count as errors. ``cap`` is the
+// caller buffer's float capacity. Returns the number of failed frames,
+// or -1 when the header read / capacity check fails.
+int td_decode_frames(void* handle, const char* const* paths, int n, int* h,
+                     int* w, float* out, int64_t cap) {
+  if (n <= 0) return 0;
+  if (td_png_dims(paths[0], h, w) != 0) return -1;
+  const int64_t per = static_cast<int64_t>(*h) * *w * 3;
+  if (per * n > cap) return -1;
+  Loader* loader = static_cast<Loader*>(handle);
+  std::atomic<int> err{0};
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  const int hh = *h, ww = *w;
+  for (int i = 0; i < n; ++i) {
+    const char* path = paths[i];
+    float* dst = out + per * i;
+    loader->pool.submit([path, dst, hh, ww, &err, &done, &cv, &mu] {
+      Image img = decode_png_rgb(path);
+      if (!img.ok() || img.h != hh || img.w != ww) {
+        err.fetch_add(1);
+      } else {
+        const size_t m = static_cast<size_t>(hh) * ww * 3;
+        for (size_t j = 0; j < m; ++j) dst[j] = img.rgb[j] / 255.0f;
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        done.fetch_add(1);
+      }
+      cv.notify_one();
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return err.load();
+}
+
+// Encode n uint8 RGB frames ((n, h, w, 3) contiguous) to PNG files in
+// parallel (the reference's per-frame save loop, main.py:262-269).
+// Returns the number of failed frames.
+int td_encode_frames(void* handle, const char* const* paths,
+                     const uint8_t* rgb, int n, int h, int w) {
+  Loader* loader = static_cast<Loader*>(handle);
+  std::atomic<int> err{0};
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  const size_t per = static_cast<size_t>(h) * w * 3;
+  for (int i = 0; i < n; ++i) {
+    const char* path = paths[i];
+    const uint8_t* src = rgb + per * i;
+    loader->pool.submit([path, src, h, w, &err, &done, &cv, &mu] {
+      if (!encode_png_rgb(path, src, h, w)) err.fetch_add(1);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        done.fetch_add(1);
+      }
+      cv.notify_one();
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
   return err.load();
 }
 

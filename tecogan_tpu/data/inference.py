@@ -1,14 +1,22 @@
-"""Inference-time frame loading (parity with reference dataloader.py:11-50).
+"""Inference-time frame I/O (parity with reference dataloader.py:11-50 and
+the per-frame save loop main.py:253-270).
 
 - lists PNGs with numeric-aware sort
 - optional HR->LR path: Gaussian blur (sigma 1.5) + 4x subsample when only an
   HR directory is given
 - prepends reversed frames [5..1] as warm-up padding
+- decodes through the native libpng thread pool when available (bit-identical
+  to the cv2 path; data/native_loader.py), cv2 otherwise
+- :class:`FrameWriter` encodes HR PNGs on a background thread so host I/O
+  overlaps device compute (the reference writes each frame inline on the
+  session thread, main.py:262-269)
 """
 
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import List, NamedTuple, Optional
 
 import numpy as np
@@ -19,7 +27,17 @@ from tecogan_tpu.recurrent.inference import prepend_warmup
 
 class InferenceData(NamedTuple):
     paths_lr: List[str]
-    inputs: np.ndarray  # (T, h, w, 3) float32 [0, 1], warm-up included
+    inputs: np.ndarray  # (T, h, w, 3) [0, 1] f32 or raw uint8, warm-up included
+
+
+def _native_io(num_threads: int = 8):
+    try:
+        from tecogan_tpu.data.native_loader import NativeFrameIO
+
+        return NativeFrameIO(num_threads)
+    except (ImportError, OSError) as exc:
+        print(f"inference IO: native decoder unavailable ({exc}); using cv2")
+        return None
 
 
 def load_inference_frames(
@@ -27,7 +45,16 @@ def load_inference_frames(
     input_dir_hr: Optional[str] = None,
     max_frames: int = -1,
     warmup: bool = True,
+    as_uint8: bool = False,
+    use_native: bool = True,
 ) -> InferenceData:
+    """Load the LR input sequence.
+
+    ``as_uint8`` keeps the LR frames as raw uint8 (the PNG's own precision)
+    so uploads cost 4x less; StreamingSR normalizes on device bit-identically.
+    Ignored on the HR->LR Gaussian path, which is float by construction
+    (reference dataloader.py:34-36).
+    """
     import cv2
 
     filedir, down_sp = input_dir_lr, False
@@ -40,14 +67,103 @@ def load_inference_frames(
     if max_frames > 0:
         paths = paths[:max_frames]
 
-    def read(p):
-        im = cv2.imread(p, 3).astype(np.float32)[:, :, ::-1]
-        if down_sp:  # reference dataloader.py:34-36
-            im = cv2.GaussianBlur(im, (0, 0), sigmaX=1.5)[::4, ::4, :]
-        return im / 255.0
+    frames = None
+    if not down_sp and use_native and all(p.endswith(".png") for p in paths):
+        io = _native_io()
+        if io is not None:
+            try:
+                dec = io.decode_frames(paths)  # (T, h, w, 3) f32 [0,1]
+                if as_uint8:
+                    # exact: dec is k/255 for integer k, so *255 rounds back
+                    frames = np.round(dec * 255.0).astype(np.uint8)
+                else:
+                    frames = dec
+            finally:
+                io.close()
 
-    frames = [read(p) for p in paths]
+    if frames is None:
+        def read(p):
+            im = cv2.imread(p, 3)[:, :, ::-1]
+            if down_sp:  # reference dataloader.py:34-36
+                return cv2.GaussianBlur(
+                    im.astype(np.float32), (0, 0), sigmaX=1.5
+                )[::4, ::4, :] / 255.0
+            if as_uint8:
+                return im
+            return im.astype(np.float32) / 255.0
+        frames = np.stack([read(p) for p in paths])
+
     if warmup:
         paths = prepend_warmup(paths)
-        frames = prepend_warmup(frames)
-    return InferenceData(paths_lr=paths, inputs=np.stack(frames))
+        # host-side numpy; the negative-step restriction is device-only
+        frames = np.concatenate([frames[5:0:-1], frames], axis=0)
+    return InferenceData(paths_lr=paths, inputs=np.ascontiguousarray(frames))
+
+
+class FrameWriter:
+    """Background HR-frame PNG writer with native (libpng pool) encode.
+
+    ``submit(frames, start_index)`` enqueues a fetched chunk; a worker
+    thread encodes it (ctypes releases the GIL, so the n-thread C++ pool
+    runs truly parallel) while the device computes the next chunk. Falls
+    back to cv2.imwrite for non-PNG extensions or when the native library
+    is unavailable. ``start_index`` counts output frames including the
+    warm-up prefix; filenames are numbered from 0 after it (reference
+    main.py:262-269 skips the first 5 warm-up outputs the same way).
+    """
+
+    def __init__(self, out_dir: str, name: str = "output", ext: str = "png",
+                 warmup: int = 0, num_threads: int = 8, depth: int = 4):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.name = name
+        self.ext = ext
+        self.warmup = warmup
+        self.count = 0
+        self._native = _native_io(num_threads) if ext == "png" else None
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: List[BaseException] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _path(self, out_idx: int) -> str:
+        return os.path.join(self.out_dir,
+                            f"{self.name}_{out_idx:04d}.{self.ext}")
+
+    def _write(self, frames: np.ndarray, start: int) -> None:
+        first = start - self.warmup
+        paths = [self._path(first + i) for i in range(frames.shape[0])]
+        if self._native is not None:
+            self._native.encode_frames(paths, frames)
+        else:
+            import cv2
+
+            for p, f in zip(paths, frames):
+                cv2.imwrite(p, f[:, :, ::-1])
+        self.count += len(paths)
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                self._write(*item)
+            except BaseException as exc:  # surfaced by close()
+                self._err.append(exc)
+
+    def submit(self, frames: np.ndarray, start_index: int) -> None:
+        """frames: (n, H, W, 3) uint8, output indices start_index..+n
+        (including warm-up; the warm-up prefix must already be dropped —
+        StreamingSR.run's on_chunk contract)."""
+        self._q.put((frames, start_index))
+
+    def close(self) -> int:
+        """Flush, join, raise any deferred encode error; returns #frames."""
+        self._q.put(None)
+        self._thread.join()
+        if self._native is not None:
+            self._native.close()
+        if self._err:
+            raise self._err[0]
+        return self.count

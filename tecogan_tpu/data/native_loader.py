@@ -68,6 +68,18 @@ def load_library() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ]
+        lib.td_decode_frames.restype = ctypes.c_int
+        lib.td_decode_frames.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.td_encode_frames.restype = ctypes.c_int
+        lib.td_encode_frames.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
         _LIB = lib
     return _LIB
 
@@ -109,6 +121,68 @@ def decode_png(path: str) -> np.ndarray:
         raise IOError(f"td_decode failed ({rc}) for {path}")
     assert (h.value, w.value) == (hdr_h, hdr_w)
     return buf
+
+
+def _path_array(paths: Sequence[str]):
+    arr = (ctypes.c_char_p * len(paths))()
+    keepalive = [p.encode() for p in paths]
+    for i, b in enumerate(keepalive):
+        arr[i] = b
+    return arr, keepalive
+
+
+class NativeFrameIO:
+    """Threaded whole-sequence PNG decode/encode for streaming inference.
+
+    Plays the role of the reference's per-frame cv2.imread/save_img calls
+    (reference main.py:253-269, dataloader.py:30-36) but off the python
+    thread: ctypes releases the GIL for the duration of each call, so a
+    writer thread encodes chunk k while the device computes chunk k+1.
+    """
+
+    def __init__(self, num_threads: int = 8):
+        self._lib = load_library()
+        self._handle = ctypes.c_void_p(self._lib.td_open(num_threads))
+
+    def decode_frames(self, paths: Sequence[str]) -> np.ndarray:
+        """-> (len(paths), H, W, 3) float32 [0,1]; frames must share geometry."""
+        n = len(paths)
+        h, w = png_dims(paths[0])
+        out = np.empty((n, h, w, 3), np.float32)
+        arr, keep = _path_array(paths)
+        ch, cw = ctypes.c_int(), ctypes.c_int()
+        rc = self._lib.td_decode_frames(
+            self._handle, arr, n, ctypes.byref(ch), ctypes.byref(cw),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.size,
+        )
+        if rc != 0:
+            raise IOError(f"native decode_frames failed for {rc} frame(s)")
+        assert (ch.value, cw.value) == (h, w)
+        return out
+
+    def encode_frames(self, paths: Sequence[str], frames: np.ndarray) -> None:
+        """frames: (n, H, W, 3) uint8 RGB, one PNG per path."""
+        n, h, w, c = frames.shape
+        assert c == 3 and n == len(paths) and frames.dtype == np.uint8
+        frames = np.ascontiguousarray(frames)
+        arr, keep = _path_array(paths)
+        rc = self._lib.td_encode_frames(
+            self._handle, arr,
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, h, w,
+        )
+        if rc != 0:
+            raise IOError(f"native encode_frames failed for {rc} frame(s)")
+
+    def close(self):
+        if self._handle:
+            self._lib.td_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeExecutor:

@@ -89,6 +89,20 @@ def vgg19_normalized_features(
     return out
 
 
+def random_vgg19_params(seed: int = 0) -> Dict:
+    """Xavier-random VGG19 params, for cost benchmarking and fixture tests.
+
+    Step time and FLOPs are weight-independent, so the full case-3 TecoGAN
+    training cost (reference runGan.py:147-163, ``--vgg_scaling 0.2``) is
+    measurable without the non-distributable ``vgg_19.ckpt``; metrics
+    computed against these weights are NOT the published perceptual loss.
+    """
+    mod = VGG19Features()
+    return mod.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 32, 3)))[
+        "params"
+    ]
+
+
 def load_vgg19_npz(path: str) -> Dict:
     """Load TF-slim vgg_19 weights from an .npz into the flax param tree.
 

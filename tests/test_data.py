@@ -164,3 +164,42 @@ def test_batch_loader_host_sharding(tmp_path, rng):
         seen[shard] = set(idxs.tolist())
     assert seen[0].isdisjoint(seen[1])
     assert seen[0] | seen[1] == set(range(len(ds)))
+
+
+def test_inference_loader_native_matches_cv2(scene_root):
+    """Native libpng decode path == cv2 path, float and uint8."""
+    import os
+    from tecogan_tpu.data.inference import load_inference_frames
+    from tecogan_tpu.data.native_loader import native_available
+
+    if not native_available():
+        import pytest
+        pytest.skip("native loader unavailable")
+    scene = os.path.join(scene_root, "scene_2001")
+    a = load_inference_frames(input_dir_lr=scene, use_native=True)
+    b = load_inference_frames(input_dir_lr=scene, use_native=False)
+    np.testing.assert_array_equal(a.inputs, b.inputs)
+    au = load_inference_frames(input_dir_lr=scene, use_native=True,
+                               as_uint8=True)
+    bu = load_inference_frames(input_dir_lr=scene, use_native=False,
+                               as_uint8=True)
+    assert au.inputs.dtype == np.uint8
+    np.testing.assert_array_equal(au.inputs, bu.inputs)
+
+
+def test_frame_writer_native_and_fallback(tmp_path, rng):
+    """FrameWriter: background native PNG encode writes the same pixels as
+    a direct cv2 loop, numbering from 0 after the warm-up prefix."""
+    import cv2
+    from tecogan_tpu.data.inference import FrameWriter
+
+    frames = (rng.rand(5, 12, 16, 3) * 255).astype(np.uint8)
+    w = FrameWriter(str(tmp_path / "nat"), warmup=2, num_threads=2)
+    # Two chunks, delivered with global indices (warm-up already dropped).
+    w.submit(frames[:3], 2)
+    w.submit(frames[3:], 5)
+    assert w.close() == 5
+    for i in range(5):
+        p = tmp_path / "nat" / f"output_{i:04d}.png"
+        back = cv2.imread(str(p))[:, :, ::-1]
+        np.testing.assert_array_equal(back, frames[i])

@@ -117,3 +117,43 @@ def test_run_streams_matches_single(rng):
     for b in range(3):
         single, _ = sr.run(streams[b], warmup=1)
         np.testing.assert_allclose(multi[b], single, rtol=2e-5, atol=2e-5)
+
+
+def test_uint8_upload_path_matches_float(rng):
+    """uint8 LR uploads (device-side /255 normalize) vs the f32 host path:
+    XLA lowers the constant division to a reciprocal multiply, so inputs
+    differ by at most 1 ulp — bound: <=1 uint8 step on <0.1% of output
+    pixels (recurrent/inference.py run_chunk)."""
+    cfg = TecoConfig(num_resblock=2, infer_chunk=4, compute_dtype="float32")
+    h = w = 16
+    gen, fnet, gp, fp = make_models(jax.random.PRNGKey(3), h, w)
+    u8 = (rng.rand(9, h, w, 3) * 255).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    out_f, _ = StreamingSR(cfg, gp, fp, output="uint8").run(f32, warmup=2)
+    out_u, _ = StreamingSR(cfg, gp, fp, output="uint8").run(u8, warmup=2)
+    d = np.abs(out_f.astype(np.int16) - out_u.astype(np.int16))
+    assert d.max() <= 1, d.max()
+    assert (d != 0).mean() < 1e-3, (d != 0).mean()
+
+
+def test_run_on_chunk_streaming_delivery(rng):
+    """on_chunk must deliver exactly the post-warmup frames, in order, with
+    correct global start indices, matching the accumulated run()."""
+    cfg = TecoConfig(num_resblock=2, infer_chunk=3, compute_dtype="float32")
+    h = w = 8
+    gen, fnet, gp, fp = make_models(jax.random.PRNGKey(4), h, w)
+    frames = rng.rand(8, h, w, 3).astype(np.float32)
+    want, _ = StreamingSR(cfg, gp, fp, output="uint8").run(frames, warmup=4)
+
+    got = {}
+    def on_chunk(arr, start):
+        got[start] = arr.copy()
+    res, _ = StreamingSR(cfg, gp, fp, output="uint8").run(
+        frames, warmup=4, on_chunk=on_chunk)
+    assert res is None
+    # warmup=4 crosses a chunk boundary (chunks of 3): first delivery starts
+    # mid-chunk at index 4.
+    starts = sorted(got)
+    assert starts[0] == 4
+    stitched = np.concatenate([got[s] for s in starts], axis=0)
+    np.testing.assert_array_equal(stitched, want)
