@@ -105,16 +105,49 @@ def main() -> None:
     except Exception:
         multi_fps8 = -1.0
 
-    # End-to-end: host float32 in -> device -> uint8 out, transfers included.
+    # End-to-end: host uint8 in (device-side normalize, the cli.main path)
+    # -> device -> uint8 out, transfers included. NOTE on this harness the
+    # number measures the TUNNEL, not the host or chip: 1.24 MB/frame of
+    # uint8 HR downloads over the ~18 MB/s link caps it at ~14 fps
+    # regardless of compute or PNG speed (BASELINE.md "host I/O").
+    frames_u8 = (frames * 255).astype(np.uint8)
     try:
-        sr.run(frames, warmup=WARMUP)  # compile + backend warm-up
+        sr.run(frames_u8, warmup=WARMUP)  # compile + backend warm-up
         host_fps = 0.0
         for _ in range(3):
-            hr, secs = sr.run(frames, warmup=WARMUP)
+            hr, secs = sr.run(frames_u8, warmup=WARMUP)
             host_fps = max(host_fps, (FRAMES + WARMUP) / secs)
         assert hr.shape == (FRAMES, 4 * H, 4 * W, 3) and hr.dtype == np.uint8
     except Exception:
         host_fps = -1.0
+
+    # Host PNG I/O throughput alone (native libpng pool): decode the LR
+    # sequence + encode the HR sequence, no device involved — the pure host
+    # cost the pipeline overlaps with compute (data/inference.py). This is
+    # the number that shows host I/O no longer binds on a co-located host.
+    try:
+        import tempfile
+        import time as _time
+
+        from tecogan_tpu.data.native_loader import NativeFrameIO
+
+        d = tempfile.mkdtemp()
+        io = NativeFrameIO(8)
+        lr_paths = [os.path.join(d, f"lr_{i:04d}.png")
+                    for i in range(FRAMES + WARMUP)]
+        io.encode_frames(lr_paths, frames_u8)
+        hr_u8 = hr if isinstance(hr, np.ndarray) else np.zeros(
+            (FRAMES, 4 * H, 4 * W, 3), np.uint8)
+        hr_paths = [os.path.join(d, f"hr_{i:04d}.png")
+                    for i in range(hr_u8.shape[0])]
+        t0 = _time.perf_counter()
+        io.decode_frames(lr_paths)
+        io.encode_frames(hr_paths, hr_u8)
+        png_secs = _time.perf_counter() - t0
+        io.close()
+        host_png_fps = FRAMES / png_secs
+    except Exception:
+        host_png_fps = -1.0
 
     print(json.dumps({
         "metric": "vid4_calendar_4x_streaming",
@@ -126,6 +159,7 @@ def main() -> None:
         "achieved_tflops": round(achieved_tflops, 2),
         "mfu": round(mfu, 4),
         "host_io_fps": round(host_fps, 1),
+        "host_png_fps": round(host_png_fps, 1),
         "multi_stream_fps": round(multi_fps, 1),
         "multi_stream_fps_b8": round(multi_fps8, 1),
         "dtype": dtype,

