@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run as a script)
 import tecogan_tpu.models.layers as layers
 import tecogan_tpu.ops.warp as W
 from tecogan_tpu.config import TecoConfig

@@ -13,6 +13,8 @@ from __future__ import annotations
 import sys
 import tempfile
 import time
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run as a script)
 from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.data.loader import BatchLoader, SceneDataset
 from tecogan_tpu.data.synthetic import write_synthetic_scenes

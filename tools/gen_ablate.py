@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run as a script)
 from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.models import Generator
 from tecogan_tpu.ops.convtran import conv_transpose_s2_phase

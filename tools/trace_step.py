@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run as a script)
 from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.models import FNet, Generator
 
@@ -87,16 +89,22 @@ def trace_stream(h: int, w: int, chunk: int) -> None:
     _report("/tmp/trace_step", chunk)
 
 
-def trace_train(mode: str) -> None:
+def trace_train(mode: str, use_vgg: bool = False) -> None:
     from tecogan_tpu.train.trainer import Trainer
 
     cfg = TecoConfig(
         num_resblock=10 if mode == "frvsr" else 16,
         batch_size=4, crop_size=32, rnn_n=10, learning_rate=5e-5,
         ratio=-0.01 if mode == "frvsr" else 0.01,
-        pingpong=mode != "frvsr", vgg_scaling=-0.002,
+        pingpong=mode != "frvsr",
+        vgg_scaling=0.2 if use_vgg else -0.002,
         compute_dtype="bfloat16")
-    trainer = Trainer(cfg)
+    vgg_params = None
+    if use_vgg:  # random weights: identical FLOPs to the pretrained ones
+        from tecogan_tpu.models.vgg19 import random_vgg19_params
+
+        vgg_params = random_vgg19_params()
+    trainer = Trainer(cfg, vgg_params=vgg_params)
     state = trainer.init_state(jax.random.PRNGKey(0))
     tar = cfg.hr_load_size
     batch = jnp.asarray(
@@ -113,7 +121,8 @@ def trace_train(mode: str) -> None:
 if __name__ == "__main__":
     kind = sys.argv[1] if len(sys.argv) > 1 else "stream"
     if kind == "train":
-        trace_train(sys.argv[2] if len(sys.argv) > 2 else "tecogan")
+        trace_train(sys.argv[2] if len(sys.argv) > 2 else "tecogan",
+                    use_vgg="--vgg" in sys.argv)
     else:
         h = int(sys.argv[2]) if len(sys.argv) > 2 else 540
         w = int(sys.argv[3]) if len(sys.argv) > 3 else 960

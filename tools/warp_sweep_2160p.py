@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run as a script)
 from tecogan_tpu.ops.warp import _corner_coords, _lerp, _tap_pack, warp_space_to_depth
 from tecogan_tpu.utils.profiling import device_time
 
