@@ -3,14 +3,23 @@ data.
 
 The reference ships OpenCV-sample procedural classes (Chess/Book/Cube,
 lib/data/video.py:47-165; TestSceneRender, lib/data/tst_scene_render.py) used
-only as capture fallbacks; here synthetic clips are a first-class fixture
-strategy (SURVEY.md §4.6): textured scenes with smooth global motion, so flow
-estimation and warping have real signal to learn/track.
+only as capture fallbacks; here synthetic video is a first-class fixture
+strategy (SURVEY.md §4.6), in two tiers:
+
+- :func:`synthetic_clip`: fast array-native clips (drifting gratings + a
+  moving occluder) — the workhorse fixture for training/inference tests.
+- Procedural scene classes (:class:`CheckerPlane`, :class:`TexturedQuad`,
+  :class:`WireCube`, the reference's Chess/Book/Cube roles) rendering a
+  camera orbit over 3D geometry through a pinhole projection — structured
+  motion parallax for flow/warp stress tests, reachable through the same
+  ``read()`` capture interface (:func:`create_capture`) the reference's
+  fallbacks expose (reference lib/data/video.py:176-206).
 """
 
 from __future__ import annotations
 
 import os
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -88,3 +97,183 @@ def write_synthetic_scenes(
         for t in range(num_frames):
             img = (clip[t, :, :, ::-1] * 255).astype(np.uint8)  # RGB->BGR
             cv2.imwrite(os.path.join(d, f"col_high_{t:04d}.png"), img)
+
+
+# ---------------------------------------------------------------------------
+# Procedural 3D scene classes (reference lib/data/video.py:47-165 roles:
+# VideoSynthBase / Chess / Book / Cube), re-derived — not transcribed — as a
+# minimal pinhole renderer over numpy geometry.
+# ---------------------------------------------------------------------------
+class ProceduralScene:
+    """Base class: a deterministic camera orbit + pinhole projection with
+    optional per-frame sensor noise, exposed through the cv2.VideoCapture
+    ``read()`` protocol so loaders can consume it like a real source."""
+
+    def __init__(self, height: int = 240, width: int = 320, seed: int = 0,
+                 noise: float = 0.0):
+        self.h, self.w = height, width
+        self.rng = np.random.RandomState(seed)
+        self.noise = noise
+        self.t = 0
+        f = 0.9 * width
+        self.K = np.array([[f, 0, width / 2.0],
+                           [0, f, height / 2.0],
+                           [0, 0, 1.0]])
+
+    # camera pose: slow orbit around the scene origin, slight bob
+    def _pose(self, t: int) -> Tuple[np.ndarray, np.ndarray]:
+        ang = 0.02 * t
+        r = 6.0
+        eye = np.array([r * np.sin(ang), 1.2 + 0.2 * np.sin(0.05 * t),
+                        r * np.cos(ang)])
+        fwd = -eye / np.linalg.norm(eye)          # look at origin
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        R = np.stack([right, up, fwd])            # world -> camera rows
+        tvec = -R @ eye
+        return R, tvec
+
+    def _project(self, pts_world: np.ndarray, t: int) -> np.ndarray:
+        R, tvec = self._pose(t)
+        cam = pts_world @ R.T + tvec
+        z = np.maximum(cam[:, 2], 1e-6)
+        uv = (cam[:, :2] / z[:, None]) * self.K[0, 0]
+        uv[:, 0] += self.K[0, 2]
+        uv[:, 1] += self.K[1, 2]
+        return uv
+
+    def render(self, t: int) -> np.ndarray:
+        """(H, W, 3) float32 [0, 1] frame at time t; override ``_draw``."""
+        frame = np.zeros((self.h, self.w, 3), np.float32)
+        # sky/ground gradient background
+        grad = np.linspace(0.25, 0.6, self.h, dtype=np.float32)[:, None]
+        frame[:] = grad[..., None] * np.float32([0.9, 0.95, 1.0])
+        self._draw(frame, t)
+        if self.noise > 0:
+            frame = frame + self.rng.normal(
+                0.0, self.noise, frame.shape).astype(np.float32)
+        return np.clip(frame, 0.0, 1.0)
+
+    def _draw(self, frame: np.ndarray, t: int) -> None:
+        raise NotImplementedError
+
+    # ---- cv2.VideoCapture protocol ------------------------------------
+    def read(self) -> Tuple[bool, np.ndarray]:
+        frame = self.render(self.t)
+        self.t += 1
+        return True, (frame * 255).astype(np.uint8)
+
+    def isOpened(self) -> bool:  # noqa: N802 (cv2 spelling)
+        return True
+
+    def release(self) -> None:
+        pass
+
+
+def _fill_quad(frame: np.ndarray, uv: np.ndarray, color) -> None:
+    """Rasterize a convex quad given 4 projected (x, y) corners."""
+    import cv2
+
+    pts = np.round(uv).astype(np.int32).reshape(-1, 1, 2)
+    cv2.fillConvexPoly(frame, pts, color)
+
+
+class CheckerPlane(ProceduralScene):
+    """The 'Chess' role: a ground-plane checkerboard under camera orbit —
+    strong perspective flow with sign changes across the board."""
+
+    def __init__(self, squares: int = 8, **kw):
+        super().__init__(**kw)
+        self.n = squares
+
+    def _draw(self, frame, t):
+        n = self.n
+        half = n / 2.0
+        for i in range(n):
+            for j in range(n):
+                corners = np.array([
+                    [i - half, 0.0, j - half],
+                    [i + 1 - half, 0.0, j - half],
+                    [i + 1 - half, 0.0, j + 1 - half],
+                    [i - half, 0.0, j + 1 - half],
+                ])
+                uv = self._project(corners, t)
+                c = 0.85 if (i + j) % 2 == 0 else 0.12
+                _fill_quad(frame, uv, (c, c * 0.95, c * 0.9))
+
+
+class TexturedQuad(ProceduralScene):
+    """The 'Book' role: an upright textured rectangle (procedural stripes)
+    swaying in front of the camera — large coherent surface motion."""
+
+    def __init__(self, stripes: int = 12, **kw):
+        super().__init__(**kw)
+        self.stripes = stripes
+        self.colors = self.rng.rand(stripes, 3) * 0.7 + 0.2
+
+    def _draw(self, frame, t):
+        sway = 0.4 * np.sin(0.07 * t)
+        for s in range(self.stripes):
+            x0 = -1.5 + 3.0 * s / self.stripes + sway
+            x1 = -1.5 + 3.0 * (s + 1) / self.stripes + sway
+            corners = np.array([
+                [x0, 0.2, -0.5], [x1, 0.2, -0.5],
+                [x1, 2.2, -0.5], [x0, 2.2, -0.5],
+            ])
+            uv = self._project(corners, t)
+            _fill_quad(frame, uv, tuple(self.colors[s]))
+
+
+class WireCube(ProceduralScene):
+    """The 'Cube' role: a spinning solid cube — self-occlusion and depth
+    discontinuities."""
+
+    _FACES = [(0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+              (2, 3, 7, 6), (1, 2, 6, 5), (0, 3, 7, 4)]
+
+    def _draw(self, frame, t):
+        a = 0.05 * t
+        ca, sa = np.cos(a), np.sin(a)
+        rot = np.array([[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]])
+        verts = (np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                           for z in (-1, 1)])[[0, 1, 3, 2, 4, 5, 7, 6]]
+                 @ rot.T)
+        verts[:, 1] += 1.0
+        R, tvec = self._pose(t)
+        cam_z = (verts @ R.T + tvec)[:, 2]
+        uv = self._project(verts, t)
+        order = np.argsort([-cam_z[list(f)].mean() for f in self._FACES])
+        for k in order:  # painter's algorithm, far faces first
+            f = self._FACES[k]
+            shade = 0.35 + 0.08 * k
+            _fill_quad(frame, uv[list(f)], (shade, 0.3, 0.9 - 0.07 * k))
+
+
+def create_capture(source=None, height: int = 240, width: int = 320,
+                   seed: int = 0):
+    """Open a video source with a procedural fallback (the reference's
+    create_capture contract, lib/data/video.py:176-206): an int/path opens
+    cv2.VideoCapture; the strings 'chess'/'book'/'cube' (or a failed real
+    open) return the corresponding procedural scene."""
+    scenes = {"chess": CheckerPlane, "book": TexturedQuad, "cube": WireCube}
+    if isinstance(source, str) and source.lower() in scenes:
+        return scenes[source.lower()](height=height, width=width, seed=seed)
+    import cv2
+
+    cap = cv2.VideoCapture(source if source is not None else 0)
+    if not cap.isOpened():
+        return CheckerPlane(height=height, width=width, seed=seed)
+    return cap
+
+
+def procedural_clip(kind: str, num_frames: int, height: int, width: int,
+                    seed: int = 0) -> np.ndarray:
+    """(T, H, W, 3) float32 [0, 1] clip from a procedural scene class."""
+    cap = create_capture(kind, height=height, width=width, seed=seed)
+    out = np.empty((num_frames, height, width, 3), np.float32)
+    for t in range(num_frames):
+        ok, frame = cap.read()
+        assert ok
+        out[t] = frame.astype(np.float32) / 255.0
+    return out

@@ -203,3 +203,23 @@ def test_frame_writer_native_and_fallback(tmp_path, rng):
         p = tmp_path / "nat" / f"output_{i:04d}.png"
         back = cv2.imread(str(p))[:, :, ::-1]
         np.testing.assert_array_equal(back, frames[i])
+
+
+def test_procedural_scene_classes():
+    """Chess/Book/Cube-role procedural sources (reference
+    lib/data/video.py:47-165): deterministic, moving, capture-protocol
+    compatible."""
+    from tecogan_tpu.data.synthetic import create_capture, procedural_clip
+
+    for kind in ("chess", "book", "cube"):
+        clip = procedural_clip(kind, 6, 120, 160, seed=1)
+        assert clip.shape == (6, 120, 160, 3)
+        assert clip.min() >= 0.0 and clip.max() <= 1.0
+        assert np.abs(clip[0] - clip[5]).max() > 0.1, kind  # real motion
+        clip2 = procedural_clip(kind, 6, 120, 160, seed=1)
+        np.testing.assert_array_equal(clip, clip2)  # deterministic
+
+    cap = create_capture("chess")
+    ok, frame = cap.read()
+    assert ok and frame.dtype == np.uint8 and cap.isOpened()
+    cap.release()

@@ -1,0 +1,76 @@
+"""In-scan A/B of headline-workload (144x180 -> 576x720) streaming variants.
+
+Round-3 trace (`trace_step.py stream 144 180 23`): the 5.09 ms/frame step
+is warp gather 0.77 + output conv 0.64 (N=3, 2.2 TF/s) + s2d transpose
+0.49 + scan-xs squeeze copies 0.51 + trunk 0.93 + misc. Candidates:
+fold the output conv columns (N=3 -> 3g), fold the s2d pack into a
+stride-4 input conv, carry LR flow in the scan (16x smaller xs slices).
+
+Isolated benches mislead on this backend (CLAUDE.md) — every variant here
+is the REAL chunk step measured via StreamingSR.device_fps.
+
+Usage: python tools/headline_ablate.py [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.models import FNet, Generator
+
+
+def main() -> None:
+    reps = int(_sys.argv[1]) if len(_sys.argv) > 1 else 5
+    from tecogan_tpu.models import layers
+    from tecogan_tpu.recurrent.inference import StreamingSR
+
+    h, w, frames_n = 144, 180, 46
+    dtype = jnp.bfloat16
+    base_cfg = TecoConfig(num_resblock=16, compute_dtype="bfloat16",
+                          infer_chunk=23)
+    gen = Generator(num_resblock=16, channels=64, dtype=dtype)
+    fnet = FNet(channels=base_cfg.fnet_channels,
+                up_channels=base_cfg.fnet_up_channels,
+                max_velocity=base_cfg.flow_max_velocity, dtype=dtype)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    gp = gen.init(k1, jnp.zeros((1, h, w, 51)))["params"]
+    fp = fnet.init(k2, jnp.zeros((1, h, w, 6)))["params"]
+    frames = np.random.RandomState(0).rand(frames_n, h, w, 3).astype(np.float32)
+
+    orig_thresh = layers._FOLD_THRESHOLD_PIXELS
+
+    variants = {
+        "base": dict(),
+        "fold_out": dict(fold_thresh=0),
+        "s2d_on": dict(fold_input_s2d="on"),
+        "inline_flow": dict(inline_flow="on"),
+        "fold_out+s2d": dict(fold_thresh=0, fold_input_s2d="on"),
+        "fold_out+inline": dict(fold_thresh=0, inline_flow="on"),
+    }
+    results = {}
+    for name, opts in variants.items():
+        layers._FOLD_THRESHOLD_PIXELS = opts.pop("fold_thresh", orig_thresh)
+        cfg = base_cfg.replace(**opts) if opts else base_cfg
+        try:
+            sr = StreamingSR(cfg, gp, fp, output="uint8")
+            fps = sr.device_fps(frames, reps=reps)
+        except Exception as exc:  # keep sweeping
+            fps = -1.0
+            print(f"{name}: FAILED {exc}", flush=True)
+        results[name] = round(fps, 1)
+        print(f"{name}: {results[name]} fps", flush=True)
+    layers._FOLD_THRESHOLD_PIXELS = orig_thresh
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
