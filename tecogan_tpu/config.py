@@ -96,12 +96,13 @@ class TecoConfig:
     #   dense_image_warp_flowlr); shrinks the scan's flow input 16x.
     #   Measured NEUTRAL on v5e (within noise at both 576x720 and 2160p —
     #   XLA's global coordinate passes are already bandwidth-efficient).
-    fold_input_s2d: str = "off"      # fold the post-warp space-to-depth into
-    #   a stride-4 HR input conv at inference ("off"|"auto"|"on"; "auto" =
-    #   large frames only). Measured NEGATIVE at 2160p (81.0 -> 89.1
-    #   ms/frame: the 12x12 stride-4 im2col costs more than the s2d it
-    #   removes) — kept as a tested option for other geometries. See
-    #   models/generator.py:generator_apply_hr_input.
+    fold_input_s2d: str = "auto"     # fold the post-warp space-to-depth into
+    #   a stride-4 HR input conv at inference ("off"|"auto"|"on"). "auto" =
+    #   mid-size frames only (HR 100k..2M px): measured +18% on the headline
+    #   576x720 workload (194 -> 228 fps, tools/headline_ablate.py round 3)
+    #   and +7..20% down to 288x360, but NEGATIVE at 2160p (81.0 -> 89.1
+    #   ms/frame: there the 12x12 stride-4 im2col costs more than the s2d it
+    #   removes). See models/generator.py:generator_apply_hr_input.
     fused_trunk: str = "off"         # Pallas resblock trunk at inference:
     #   "off" = never (default: wins isolated — 38.2 vs 49.6 ms at 540x960 —
     #   but loses ~13 ms/frame inside the streaming scan, where XLA's chain

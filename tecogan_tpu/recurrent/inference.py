@@ -60,10 +60,14 @@ _MAX_IN_FLIGHT = 2
 # the streaming step (v5e: loses at 144x180, wins at 540x960).
 _FUSED_TRUNK_MIN_PIXELS = 250_000
 
-# HR pixels above which fold_input_s2d="auto" folds the space-to-depth
-# pack into the generator's stride-4 HR input conv (the full-frame s2d
-# transpose costs ~4.7 ms at 2160p, tools/trace_2160p.py).
-_FOLD_S2D_MIN_HR_PIXELS = 2_000_000
+# HR pixel band in which fold_input_s2d="auto" folds the space-to-depth
+# pack into the generator's stride-4 HR input conv. In-scan A/B (round 3,
+# tools/headline_ablate.py + s2d_fold_sweep.py): +18% at 576x720 HR
+# (194 -> 228 fps), +20% at 384x480, +7% at 288x360; NEGATIVE at 2160p
+# (the stride-4 im2col outweighs the removed s2d transpose there). Below
+# ~100k px the op mix is dispatch-bound and the tested default path stays.
+_FOLD_S2D_MIN_HR_PIXELS = 100_000
+_FOLD_S2D_MAX_HR_PIXELS = 2_000_000
 
 
 def prepend_warmup(frames: List) -> List:
@@ -156,7 +160,8 @@ class StreamingSR:
                 return False
             if s2d_mode == "on":
                 return True
-            return 16 * lr.shape[1] * lr.shape[2] > _FOLD_S2D_MIN_HR_PIXELS
+            hr_px = 16 * lr.shape[1] * lr.shape[2]
+            return _FOLD_S2D_MIN_HR_PIXELS < hr_px <= _FOLD_S2D_MAX_HR_PIXELS
 
         flow_mode = self.config.inline_flow
 
