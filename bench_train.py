@@ -33,6 +33,7 @@ def main() -> None:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     mode = argv[0] if argv else "frvsr"
     use_vgg = "--vgg" in sys.argv
+    use_fold = "--fold" in sys.argv  # A/B: train-scan s2d fold (config.py)
     cfg = TecoConfig(
         num_resblock=10 if mode == "frvsr" else 16,
         batch_size=4, crop_size=32, rnn_n=10,
@@ -41,6 +42,7 @@ def main() -> None:
         pingpong=mode != "frvsr",
         vgg_scaling=0.2 if use_vgg else -0.002,  # runGan.py:162-163
         compute_dtype="bfloat16",
+        train_fold_s2d=use_fold,
     )
     vgg_params = None
     if use_vgg:
@@ -64,7 +66,8 @@ def main() -> None:
     secs = device_time(step, batch, iters=10, warmup=3)
     ips = cfg.batch_size * cfg.unroll_frames / secs
     print(json.dumps({
-        "metric": f"train_step_{mode}" + ("_vgg" if use_vgg else ""),
+        "metric": f"train_step_{mode}" + ("_vgg" if use_vgg else "")
+                  + ("_fold" if use_fold else ""),
         "value": round(ips, 1),
         "unit": "images/sec*frames",
         "step_ms": round(secs * 1e3, 1),

@@ -103,6 +103,13 @@ class TecoConfig:
     #   and +7..20% down to 288x360, but NEGATIVE at 2160p (81.0 -> 89.1
     #   ms/frame: there the 12x12 stride-4 im2col costs more than the s2d it
     #   removes). See models/generator.py:generator_apply_hr_input.
+    train_fold_s2d: bool = False     # fold the recurrent s2d pack into the
+    #   stride-4 input conv in the TRAINING unroll too (recurrent/step.py:
+    #   unroll_generator fold_input). MEASURED NEGATIVE on v5e (TecoGAN-16
+    #   b4 crop32 rnn10: 110.6 ms folded vs 105.1 ms packed) — the stride-4
+    #   conv's input-gradient (a dilated 12x12 conv over the 4x HR frame)
+    #   costs more than the s2d transpose pair it removes. Kept as an
+    #   option + equality test; default off.
     fused_trunk: str = "off"         # Pallas resblock trunk at inference:
     #   "off" = never (default: wins isolated — 38.2 vs 49.6 ms at 540x960 —
     #   but loses ~13 ms/frame inside the streaming scan, where XLA's chain

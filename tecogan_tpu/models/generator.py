@@ -94,12 +94,14 @@ def generator_apply_hr_input(params, lr, warped_hr, num_resblock: int = 16):
     # (3, 3, 48, C) -> (3, 4, 4, 3, C) [dy, r, s, rgb] -> (12, 12, 3, C).
     k_hr = k[:, :, 3:, :].reshape(3, 3, 4, 4, 3, k.shape[-1])
     k_hr = k_hr.transpose(0, 2, 1, 3, 4, 5).reshape(12, 12, 3, k.shape[-1])
-    a = jax.lax.conv_general_dilated(
-        lr, k_lr, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    c = jax.lax.conv_general_dilated(
-        warped_hr, k_hr, (4, 4), ((4, 4), (4, 4)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    with jax.named_scope("fold_input_lr_conv"):
+        a = jax.lax.conv_general_dilated(
+            lr, k_lr, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    with jax.named_scope("fold_input_hr_stride4_conv"):
+        c = jax.lax.conv_general_dilated(
+            warped_hr, k_hr, (4, 4), ((4, 4), (4, 4)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     net = jax.nn.relu(a + c + b)
     return _generator_tail(p, net, lr, num_resblock)
 
@@ -110,19 +112,21 @@ def _generator_tail(p, net, lr, num_resblock):
     dtype = net.dtype
 
     def conv(name, v):
-        k = p[name]["kernel"].astype(v.dtype)
-        out = jax.lax.conv_general_dilated(
-            v, k, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return out + p[name]["bias"].astype(v.dtype)
+        with jax.named_scope(name):
+            k = p[name]["kernel"].astype(v.dtype)
+            out = jax.lax.conv_general_dilated(
+                v, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return out + p[name]["bias"].astype(v.dtype)
 
     def conv_tran(name, v):
-        k = p[name]["kernel"].astype(v.dtype)
-        out = jax.lax.conv_transpose(
-            v, k, (2, 2), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            transpose_kernel=True)
-        return out + p[name]["bias"].astype(v.dtype)
+        with jax.named_scope(name):
+            k = p[name]["kernel"].astype(v.dtype)
+            out = jax.lax.conv_transpose(
+                v, k, (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=True)
+            return out + p[name]["bias"].astype(v.dtype)
 
     for i in range(1, num_resblock + 1):
         skip = net

@@ -31,6 +31,7 @@ from tecogan_tpu.ops import (
     space_to_depth,
     upscale_bilinear,
 )
+from tecogan_tpu.models.generator import generator_apply_hr_input
 from tecogan_tpu.ops.warp import warp_space_to_depth
 
 
@@ -128,6 +129,9 @@ def unroll_generator(
     r_inputs: jnp.ndarray,
     flow_hr: jnp.ndarray,
     remat: bool = True,
+    with_warppre: bool = True,
+    fold_input: bool = False,
+    num_resblock: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Recurrent generator unroll via lax.scan (reference Teco.py:125-164).
 
@@ -137,11 +141,25 @@ def unroll_generator(
       remat: rematerialize each frame's generator application in the backward
         pass — the 2N-1 ping-pong unroll of 4x HR activations does not
         otherwise fit HBM (SURVEY.md §7 "ping-pong memory").
+      with_warppre: also return the warped previous outputs. The training
+        loss never consumes them (only GIF summaries do, Teco.py:162-164),
+        and under ``jax.checkpoint`` the dead scan output is NOT reliably
+        eliminated — pass False on the loss path so the scan neither
+        computes nor stacks the (B, T-1, 4h, 4w, 3) tensor.
+      fold_input: skip the space-to-depth pack of the warped previous output
+        and feed the raw warped HR frame to the generator through the
+        stride-4 folded input conv (models/generator.py:
+        generator_apply_hr_input — mathematically identical input stage,
+        same param tree). Removes the per-frame s2d lane-interleave
+        transpose from both the forward scan and its backward.
+      num_resblock: trunk depth for the ``fold_input`` path (the flax apply
+        carries it in the module; the pure fold forward needs it passed).
 
     Returns:
       gen_outputs: (B, T, 4h, 4w, 3) in [-1, 1]
       gen_warppre: (B, T-1, 4h, 4w, 3) warped previous outputs in [-1, 1]
-        (for telemetry/summaries, reference Teco.py:142,162-164)
+        (for telemetry/summaries, reference Teco.py:142,162-164), or None
+        when ``with_warppre=False``.
     """
     b, t, h, w, _ = r_inputs.shape
 
@@ -153,15 +171,27 @@ def unroll_generator(
 
     def body(prev_out, xs):
         lr, flow = xs  # (B, h, w, 3), (B, 4h, 4w, 2)
+        if fold_input:
+            # Raw-HR warp (deprocess folded into the gather epilogue) + the
+            # stride-4 folded input conv — no s2d transpose materialized.
+            warped01 = dense_image_warp(prev_out, flow, scale=0.5, shift=0.5)
+            gen_out = generator_apply_hr_input(
+                gen_params, lr.astype(prev_out.dtype), warped01, num_resblock
+            )
+            if with_warppre:
+                return gen_out, (gen_out, preprocess(warped01))
+            return gen_out, gen_out
         # Fused warp + deprocess + s2d pack ([-1,1] -> [0,1] folded into the
         # gather's output affine); warppre for telemetry is recovered by the
-        # exact inverse permutation (dead-code-eliminated when unused).
+        # exact inverse permutation.
         packed = warp_space_to_depth(prev_out, flow, 4, scale=0.5, shift=0.5)
         gen_out = gen_apply(
             {"params": gen_params}, jnp.concatenate([lr, packed], axis=-1)
         )
-        warped = preprocess(depth_to_space(packed, 4))
-        return gen_out, (gen_out, warped)
+        if with_warppre:
+            warped = preprocess(depth_to_space(packed, 4))
+            return gen_out, (gen_out, warped)
+        return gen_out, gen_out
 
     if remat:
         body = jax.checkpoint(body)
@@ -170,10 +200,14 @@ def unroll_generator(
         r_inputs[:, 1:].transpose(1, 0, 2, 3, 4),
         flow_hr.transpose(1, 0, 2, 3, 4),
     )
-    _, (outs, warppre) = jax.lax.scan(body, out0, xs)
+    if with_warppre:
+        _, (outs, warppre) = jax.lax.scan(body, out0, xs)
+        gen_warppre = warppre.transpose(1, 0, 2, 3, 4)
+    else:
+        _, outs = jax.lax.scan(body, out0, xs)
+        gen_warppre = None
 
     gen_outputs = jnp.concatenate(
         [out0[:, None], outs.transpose(1, 0, 2, 3, 4)], axis=1
     )
-    gen_warppre = warppre.transpose(1, 0, 2, 3, 4)
     return gen_outputs, gen_warppre

@@ -245,6 +245,11 @@ class Trainer:
         gen_outputs, _ = unroll_generator(
             self.generator.apply, gen_params, r_inputs, flow_hr,
             remat=resolve_remat(cfg),
+            # The loss path never reads warppre (GIF summaries recompute it,
+            # make_summary_outputs below) — don't compute/stack it in-scan.
+            with_warppre=False,
+            fold_input=cfg.train_fold_s2d,
+            num_resblock=cfg.num_resblock,
         )
 
         b, t = gen_outputs.shape[0], gen_outputs.shape[1]

@@ -65,6 +65,51 @@ def test_unroll_remat_matches_no_remat(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6)
 
 
+def test_unroll_no_warppre_and_fold_variants(rng):
+    """The loss-path unroll options must not change gen_outputs:
+    ``with_warppre=False`` is the identical computation minus the telemetry
+    output (bit-equal), and ``fold_input=True`` routes the warped previous
+    frame through the stride-4 folded input conv (models/generator.py:
+    generator_apply_hr_input) — mathematically identical, different f32
+    reduction order."""
+    b, t, h, w = 2, 4, 8, 8
+    gen, fnet, gp, fp = make_models(jax.random.PRNGKey(5), h, w)
+    seq = jnp.asarray(rng.rand(b, t, h, w, 3), jnp.float32)
+    _, flow_hr = flows_for_sequence(fnet.apply, fp, seq)
+
+    ref, warppre = unroll_generator(gen.apply, gp, seq, flow_hr, remat=False)
+
+    nowp, none_wp = unroll_generator(
+        gen.apply, gp, seq, flow_hr, remat=False, with_warppre=False)
+    assert none_wp is None
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(nowp))
+
+    fold, fold_wp = unroll_generator(
+        gen.apply, gp, seq, flow_hr, remat=False, fold_input=True,
+        num_resblock=2)
+    assert fold_wp.shape == warppre.shape
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fold),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(warppre), np.asarray(fold_wp),
+                               rtol=1e-4, atol=1e-5)
+
+    # Gradients must agree too (the fold is used on the training loss path).
+    def loss(params, fold_input):
+        outs, _ = unroll_generator(
+            gen.apply, params, seq, flow_hr, remat=False,
+            with_warppre=False, fold_input=fold_input, num_resblock=2)
+        return jnp.mean(jnp.square(outs))
+
+    from jax.flatten_util import ravel_pytree
+
+    g_ref = jax.grad(loss)(gp, False)
+    g_fold = jax.grad(loss)(gp, True)
+    flat_r, _ = ravel_pytree(g_ref)
+    flat_f, _ = ravel_pytree(g_fold)
+    np.testing.assert_allclose(np.asarray(flat_r), np.asarray(flat_f),
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_extend_pingpong_order(rng):
     x = jnp.arange(5)[None, :, None]  # (1, 5, 1)
     ext = extend_pingpong(x)

@@ -89,7 +89,7 @@ def trace_stream(h: int, w: int, chunk: int) -> None:
     _report("/tmp/trace_step", chunk)
 
 
-def trace_train(mode: str, use_vgg: bool = False) -> None:
+def trace_train(mode: str, use_vgg: bool = False, use_fold: bool = False) -> None:
     from tecogan_tpu.train.trainer import Trainer
 
     cfg = TecoConfig(
@@ -98,7 +98,8 @@ def trace_train(mode: str, use_vgg: bool = False) -> None:
         ratio=-0.01 if mode == "frvsr" else 0.01,
         pingpong=mode != "frvsr",
         vgg_scaling=0.2 if use_vgg else -0.002,
-        compute_dtype="bfloat16")
+        compute_dtype="bfloat16",
+        train_fold_s2d=use_fold)
     vgg_params = None
     if use_vgg:  # random weights: identical FLOPs to the pretrained ones
         from tecogan_tpu.models.vgg19 import random_vgg19_params
@@ -122,7 +123,8 @@ if __name__ == "__main__":
     kind = sys.argv[1] if len(sys.argv) > 1 else "stream"
     if kind == "train":
         trace_train(sys.argv[2] if len(sys.argv) > 2 else "tecogan",
-                    use_vgg="--vgg" in sys.argv)
+                    use_vgg="--vgg" in sys.argv,
+                    use_fold="--fold" in sys.argv)
     else:
         h = int(sys.argv[2]) if len(sys.argv) > 2 else 540
         w = int(sys.argv[3]) if len(sys.argv) > 3 else 960
