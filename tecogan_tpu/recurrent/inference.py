@@ -75,6 +75,19 @@ def prepend_warmup(frames: List) -> List:
     return list(frames[5:0:-1]) + list(frames)
 
 
+def fold_s2d_active(config: TecoConfig, h: int, w: int) -> bool:
+    """Whether the streaming step folds the post-warp space-to-depth into
+    the generator's stride-4 HR input conv for an (h, w) LR frame — the
+    compile-time branch shared by StreamingSR and the serving engine
+    (measured bands above; models/generator.py:generator_apply_hr_input)."""
+    if config.gen_channels != 64 or config.fold_input_s2d == "off":
+        return False
+    if config.fold_input_s2d == "on":
+        return True
+    hr_px = 16 * h * w
+    return _FOLD_S2D_MIN_HR_PIXELS < hr_px <= _FOLD_S2D_MAX_HR_PIXELS
+
+
 class StreamingSR:
     """Chunked streaming super-resolver around a jitted scan step.
 
@@ -151,17 +164,12 @@ class StreamingSR:
         max_disp = 4.0 * self.config.flow_max_velocity
         num_rb = self.config.num_resblock
 
-        s2d_mode = self.config.fold_input_s2d
-        s2d_ok = spatial_mesh is None and self.config.gen_channels == 64
+        s2d_ok = spatial_mesh is None
 
         def use_hr_input(lr):
             # Compile-time branch (shapes static at trace time).
-            if not s2d_ok or s2d_mode == "off":
-                return False
-            if s2d_mode == "on":
-                return True
-            hr_px = 16 * lr.shape[1] * lr.shape[2]
-            return _FOLD_S2D_MIN_HR_PIXELS < hr_px <= _FOLD_S2D_MAX_HR_PIXELS
+            return s2d_ok and fold_s2d_active(
+                self.config, lr.shape[1], lr.shape[2])
 
         flow_mode = self.config.inline_flow
 

@@ -1,0 +1,16 @@
+"""TPU-native serving layer: multi-stream batching + AOT export."""
+
+from tecogan_tpu.serve.engine import VSRServer, build_frame_fn
+from tecogan_tpu.serve.export import (
+    export_frame_step,
+    load_frame_step,
+    save_frame_step,
+)
+
+__all__ = [
+    "VSRServer",
+    "build_frame_fn",
+    "export_frame_step",
+    "save_frame_step",
+    "load_frame_step",
+]

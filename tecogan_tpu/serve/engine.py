@@ -1,0 +1,225 @@
+"""Multi-stream VSR serving engine (continuous batching).
+
+The reference serves exactly one video per process: a Python loop feeding
+one frame at a time through ``sess.run`` (reference main.py:253-270). A TPU
+chip at that batch size leaves most of the MXU idle (BASELINE.md
+"multi-stream saturation": B=1 runs the generator at ~18 TF/s vs its ~31
+TF/s B>=4 ceiling), so production serving wants N independent streams
+batched into ONE recurrent step.
+
+:class:`VSRServer` does that with static shapes (XLA compiles the step
+once): a fixed pool of ``max_streams`` slots, each holding one stream's
+recurrent state (``prev_lr``/``prev_hr``) resident in HBM. Streams attach
+and detach at any time; every tick runs one batched frame step and three
+masks reconcile the dynamic reality with the static batch:
+
+- ``reset``: slots whose stream delivered its first frame restart from the
+  zero state (the reference's first-frame convention, main.py:197-199).
+- ``active``: slots with no frame this tick keep their state bit-for-bit
+  (the step computes on their stale inputs — constant cost — and the
+  result is masked out; per-slot dynamic shapes would force a recompile
+  per activity pattern and serialize the batch).
+- absent/closed slots simply hold zeros.
+
+The per-frame math is identical to the streaming engine's scan body
+(recurrent/inference.py:run_chunk): fused warp + space-to-depth, or the
+mid-band s2d fold into the stride-4 HR input conv when the frame geometry
+is in the measured win band (fold_s2d_active), and device-side uint8
+quantization of outputs (4x less device->host traffic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.models import FNet, Generator
+from tecogan_tpu.models.generator import generator_apply_hr_input
+from tecogan_tpu.ops import deprocess
+from tecogan_tpu.ops.warp import dense_image_warp, warp_space_to_depth
+from tecogan_tpu.recurrent.inference import fold_s2d_active
+from tecogan_tpu.recurrent.step import RecurrentState, init_state, upscale_flow
+
+
+def build_frame_fn(config: TecoConfig, gen_apply, fnet_apply,
+                   output: str = "uint8"):
+    """The single-frame serving body, shared by :class:`VSRServer` and the
+    AOT export path (serve/export.py).
+
+    Returns ``fn(gen_params, fnet_params, state, lr) -> (state, out)`` where
+    ``lr`` is (B, h, w, 3) uint8 or float in [0, 1] and ``out`` is the HR
+    batch (B, 4h, 4w, 3) — uint8 (reference ops.py:520-523 quantization) or
+    float32 in [0, 1] per ``output``. Semantically the streaming scan body
+    of recurrent/inference.py:run_chunk for one frame.
+    """
+    if output not in ("float32", "uint8"):
+        raise ValueError(f"output must be float32|uint8, got {output}")
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    max_disp = 4.0 * config.flow_max_velocity
+    num_rb = config.num_resblock
+
+    def frame_fn(gen_params, fnet_params, state, lr):
+        if lr.dtype == jnp.uint8:
+            # Device-side /255 (1-ulp reciprocal-multiply skew vs host
+            # division; bound pinned in tests/test_recurrent.py).
+            lr = (lr.astype(jnp.float32) / 255.0).astype(compute_dtype)
+        else:
+            lr = lr.astype(compute_dtype)
+        _, h, w, _ = lr.shape
+        flow_lr = fnet_apply(
+            {"params": fnet_params},
+            jnp.concatenate([state.prev_lr, lr], axis=-1))
+        flow_hr = upscale_flow(flow_lr, h, w)
+        if fold_s2d_active(config, h, w):
+            warped = dense_image_warp(state.prev_hr, flow_hr,
+                                      max_displacement=max_disp)
+            gen_out = generator_apply_hr_input(
+                gen_params, lr, warped, num_resblock=num_rb)
+        else:
+            packed = warp_space_to_depth(state.prev_hr, flow_hr, 4,
+                                         max_displacement=max_disp)
+            gen_out = gen_apply(
+                {"params": gen_params},
+                jnp.concatenate([lr, packed], axis=-1))
+        hr = deprocess(gen_out)
+        if output == "uint8":
+            out = jnp.clip(hr.astype(jnp.float32) * 255.0, 0.0, 255.0
+                           ).astype(jnp.uint8)
+        else:
+            out = hr.astype(jnp.float32)
+        return RecurrentState(prev_lr=lr, prev_hr=hr), out
+
+    return frame_fn
+
+
+class VSRServer:
+    """Continuous-batching 4x VSR server over a fixed slot pool.
+
+    Args:
+      config: model/runtime configuration (geometry-independent).
+      gen_params / fnet_params: parameter pytrees.
+      height / width: LR frame geometry (static; one compiled step).
+      max_streams: slot-pool size = the served batch. Aggregate throughput
+        saturates by ~4-8 slots on one chip (BASELINE.md); size larger
+        pools across chips via the parallel/ layer instead.
+      output: "uint8" (device-quantized, the PNG byte format) or "float32".
+    """
+
+    def __init__(self, config: TecoConfig, gen_params, fnet_params,
+                 height: int, width: int, max_streams: int = 4,
+                 output: str = "uint8"):
+        if height % 8 or width % 8:
+            raise ValueError("FNet needs height/width divisible by 8 "
+                             f"(got {height}x{width})")
+        self.config = config
+        self.height, self.width = height, width
+        self.max_streams = max_streams
+        self.output = output
+        dtype = jnp.dtype(config.compute_dtype)
+        generator = Generator(num_resblock=config.num_resblock,
+                              channels=config.gen_channels, dtype=dtype)
+        fnet = FNet(channels=config.fnet_channels,
+                    up_channels=config.fnet_up_channels,
+                    max_velocity=config.flow_max_velocity, dtype=dtype)
+        self.gen_params = gen_params
+        self.fnet_params = fnet_params
+        frame_fn = build_frame_fn(config, generator.apply, fnet.apply,
+                                  output=output)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def server_step(gen_p, fnet_p, state, lr, reset, active):
+            rm = reset[:, None, None, None]
+            base = RecurrentState(
+                prev_lr=jnp.where(rm, jnp.zeros_like(state.prev_lr),
+                                  state.prev_lr),
+                prev_hr=jnp.where(rm, jnp.zeros_like(state.prev_hr),
+                                  state.prev_hr),
+            )
+            stepped, out = frame_fn(gen_p, fnet_p, base, lr)
+            am = active[:, None, None, None]
+            new_state = RecurrentState(
+                prev_lr=jnp.where(am, stepped.prev_lr, base.prev_lr),
+                prev_hr=jnp.where(am, stepped.prev_hr, base.prev_hr),
+            )
+            return new_state, out
+
+        self._step = server_step
+        self._state = init_state(max_streams, height, width, dtype)
+        self._slot_of: Dict[object, int] = {}
+        self._fresh: Dict[object, bool] = {}
+        self._free = list(range(max_streams - 1, -1, -1))  # pop() -> slot 0 first
+
+    # ------------------------------------------------------------ lifecycle
+    def open(self, stream_id) -> int:
+        """Attach a stream; returns its slot. Raises when the pool is full
+        (admission control is the caller's policy — queue or shed)."""
+        if stream_id in self._slot_of:
+            raise ValueError(f"stream {stream_id!r} already open")
+        if not self._free:
+            raise RuntimeError(
+                f"no free slots (max_streams={self.max_streams})")
+        slot = self._free.pop()
+        self._slot_of[stream_id] = slot
+        self._fresh[stream_id] = True
+        return slot
+
+    def close(self, stream_id) -> None:
+        """Detach a stream and free its slot (state is reset on reuse)."""
+        slot = self._slot_of.pop(stream_id)
+        self._fresh.pop(stream_id, None)
+        self._free.append(slot)
+
+    @property
+    def open_streams(self):
+        return tuple(self._slot_of)
+
+    # ------------------------------------------------------------- serving
+    def step(self, frames: Mapping[object, np.ndarray]
+             ) -> Dict[object, np.ndarray]:
+        """Advance every stream that delivered a frame by one step.
+
+        Args:
+          frames: {stream_id: (h, w, 3) LR frame}, uint8 or float32 in
+            [0, 1] (all the same dtype). Streams must be ``open``; streams
+            omitted this tick keep their state untouched.
+
+        Returns:
+          {stream_id: (4h, 4w, 3) HR frame} per ``output`` dtype.
+        """
+        if not frames:
+            return {}
+        ids = list(frames)
+        missing = [s for s in ids if s not in self._slot_of]
+        if missing:
+            raise KeyError(f"streams not open: {missing}")
+        first = np.asarray(frames[ids[0]])
+        np_dtype = np.uint8 if first.dtype == np.uint8 else np.float32
+        lr = np.zeros((self.max_streams, self.height, self.width, 3),
+                      np_dtype)
+        reset = np.zeros((self.max_streams,), bool)
+        active = np.zeros((self.max_streams,), bool)
+        for sid in ids:
+            slot = self._slot_of[sid]
+            frame = np.asarray(frames[sid])
+            if frame.shape != (self.height, self.width, 3):
+                raise ValueError(
+                    f"stream {sid!r}: frame shape {frame.shape} != "
+                    f"({self.height}, {self.width}, 3)")
+            if frame.dtype != np_dtype:
+                raise ValueError("mixed frame dtypes in one tick")
+            lr[slot] = frame
+            active[slot] = True
+            if self._fresh.get(sid):
+                reset[slot] = True
+        self._state, out = self._step(
+            self.gen_params, self.fnet_params, self._state,
+            jnp.asarray(lr), jnp.asarray(reset), jnp.asarray(active))
+        out = np.asarray(jax.device_get(out))
+        for sid in ids:
+            self._fresh[sid] = False
+        return {sid: out[self._slot_of[sid]] for sid in ids}
