@@ -9,6 +9,8 @@ GAN for 4x video super resolution, ACM TOG 2020) with a TPU-first design:
   perceptual loss, ping-pong loss, adaptive discriminator balancing)
 - metric evaluation: PSNR / SSIM / LPIPS / tOF / tLP100 (``tecogan_tpu.eval``)
 - dataset preparation and host data pipeline (``tecogan_tpu.data``)
+- production serving: multi-stream continuous batching + AOT StableHLO
+  export of the frame step (``tecogan_tpu.serve``)
 
 Unlike the reference (a single-GPU TF1 graph), the compute path here is pure
 functional JAX compiled by XLA for the MXU, with a Pallas kernel for the hot

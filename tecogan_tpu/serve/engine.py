@@ -112,10 +112,20 @@ class VSRServer:
 
     def __init__(self, config: TecoConfig, gen_params, fnet_params,
                  height: int, width: int, max_streams: int = 4,
-                 output: str = "uint8"):
-        if height % 8 or width % 8:
-            raise ValueError("FNet needs height/width divisible by 8 "
-                             f"(got {height}x{width})")
+                 output: str = "uint8", mesh=None):
+        """``mesh``: optional Mesh with a ``config.dp_axis`` axis — the slot
+        pool is sharded across it (params replicated, state/frames/outputs
+        split on the slot dim), scaling aggregate serving throughput
+        linearly with chips since streams are independent. One chip
+        saturates at ~4-8 slots (BASELINE.md "multi-stream saturation");
+        this is the scale-out past that."""
+        # Any geometry works: FNet's decoder output is symmetric-padded back
+        # to (h, w) by upscale_flow/pad_flow_to when maxpool floors odd dims
+        # (the calendar protocol itself is 144x180).
+        if mesh is not None and max_streams % mesh.shape[config.dp_axis]:
+            raise ValueError(
+                f"max_streams={max_streams} must divide evenly across the "
+                f"{mesh.shape[config.dp_axis]}-device '{config.dp_axis}' axis")
         self.config = config
         self.height, self.width = height, width
         self.max_streams = max_streams
@@ -131,7 +141,6 @@ class VSRServer:
         frame_fn = build_frame_fn(config, generator.apply, fnet.apply,
                                   output=output)
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
         def server_step(gen_p, fnet_p, state, lr, reset, active):
             rm = reset[:, None, None, None]
             base = RecurrentState(
@@ -148,7 +157,18 @@ class VSRServer:
             )
             return new_state, out
 
-        self._step = server_step
+        if mesh is None:
+            self._step = jax.jit(server_step, donate_argnums=(2,))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            slot = NamedSharding(mesh, P(config.dp_axis))
+            st_sh = RecurrentState(prev_lr=slot, prev_hr=slot)
+            self._step = jax.jit(
+                server_step, donate_argnums=(2,),
+                in_shardings=(repl, repl, st_sh, slot, slot, slot),
+                out_shardings=(st_sh, slot))
         self._state = init_state(max_streams, height, width, dtype)
         self._slot_of: Dict[object, int] = {}
         self._fresh: Dict[object, bool] = {}

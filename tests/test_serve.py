@@ -134,6 +134,31 @@ def test_uint8_io(rng):
     assert np.mean(np.abs(got.astype(int) - ref_u8.astype(int)) > 2) < 1e-3
 
 
+def test_server_mesh_sharded_matches(rng):
+    """Slot pool sharded over the 8-device mesh == single-device server."""
+    from tecogan_tpu.parallel import make_mesh
+
+    cfg, gen, fnet, gp, fp = make()
+    mesh = make_mesh({cfg.dp_axis: -1})
+    n = mesh.shape[cfg.dp_axis]
+    frames = rng.rand(3, H, W, 3).astype(np.float32)
+
+    ref = VSRServer(cfg, gp, fp, H, W, max_streams=n, output="float32")
+    srv = VSRServer(cfg, gp, fp, H, W, max_streams=n, output="float32",
+                    mesh=mesh)
+    for s in (ref, srv):
+        s.open("a"); s.open("b")
+    for f in frames:
+        tick = {"a": f, "b": rng.rand(H, W, 3).astype(np.float32)}
+        want = ref.step(tick)
+        got = srv.step(tick)
+        np.testing.assert_allclose(got["a"], want["a"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got["b"], want["b"], rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        VSRServer(cfg, gp, fp, H, W, max_streams=n + 1, mesh=mesh)
+
+
 def test_lifecycle_errors(rng):
     cfg, _, _, gp, fp = make()
     srv = VSRServer(cfg, gp, fp, H, W, max_streams=1, output="float32")
