@@ -1,0 +1,156 @@
+"""Multi-stream serving CLI: N PNG sequences through one batched server.
+
+The reference's inference entry (main.py:253-270) and this repo's
+``cli.main --mode inference`` each serve ONE sequence per process. This
+driver runs several concurrently through :class:`tecogan_tpu.serve.VSRServer`
+— one compiled masked step, streams admitted as slots free up (continuous
+batching), per-stream PNG output via the background FrameWriter — and can
+instead dump the AOT deployment artifact (serve/export.py).
+
+Usage:
+  # serve: one output subdirectory (the input dir's basename) per stream
+  python -m tecogan_tpu.cli.serve --input_dirs LR/calendar,LR/foliage \\
+      --output_dir results --tf_npz model/TecoGAN.npz --max_streams 4
+
+  # export the serving step as a StableHLO artifact (params baked)
+  python -m tecogan_tpu.cli.serve --export step.bin --batch 4 \\
+      --height 144 --width 180 --tf_npz model/TecoGAN.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from tecogan_tpu.cli.main import load_inference_params
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.data.inference import FrameWriter, load_inference_frames
+from tecogan_tpu.recurrent.inference import WARMUP_FRAMES
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("tecogan_tpu.cli.serve")
+    p.add_argument("--input_dirs", default=None,
+                   help="comma-separated LR PNG directories, one stream each")
+    p.add_argument("--output_dir", default=None)
+    p.add_argument("--output_name", default="output")
+    p.add_argument("--max_streams", type=int, default=4)
+    p.add_argument("--max_frames", type=int, default=-1)
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip the reversed-frame warm-up padding "
+                        "(live-source semantics; reference dataloader.py:42-44 "
+                        "pads offline sequences)")
+    # weights (same sources as cli.main)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--tf_npz", default=None)
+    p.add_argument("--params_npz", default=None)
+    p.add_argument("--allow_random_weights", action="store_true")
+    # model
+    p.add_argument("--num_resblock", type=int, default=16)
+    p.add_argument("--compute_dtype", default=None)
+    p.add_argument("--rand_seed", type=int, default=1)
+    # export mode
+    p.add_argument("--export", default=None, metavar="PATH",
+                   help="write the AOT StableHLO serving-step artifact and exit")
+    p.add_argument("--batch", type=int, default=4, help="export batch size")
+    p.add_argument("--height", type=int, default=144)
+    p.add_argument("--width", type=int, default=180)
+    return p
+
+
+def config_from_args(args) -> TecoConfig:
+    over = {"num_resblock": args.num_resblock, "rand_seed": args.rand_seed}
+    if args.compute_dtype:
+        over["compute_dtype"] = args.compute_dtype
+    return TecoConfig().replace(**over)
+
+
+def run_export(args, config) -> None:
+    from tecogan_tpu.serve import export_frame_step, save_frame_step
+
+    gen_params, fnet_params = load_inference_params(args, config)
+    exp = export_frame_step(config, gen_params, fnet_params,
+                            batch=args.batch, height=args.height,
+                            width=args.width)
+    save_frame_step(exp, args.export)
+    size = os.path.getsize(args.export)
+    print(f"Exported serving step ({args.batch}x{args.height}x{args.width}, "
+          f"platforms {exp.platforms}) -> {args.export} ({size/1e6:.1f} MB)")
+
+
+def run_serve(args, config) -> None:
+    from tecogan_tpu.serve import VSRServer
+
+    dirs = [d for d in args.input_dirs.split(",") if d]
+    names = [os.path.basename(os.path.normpath(d)) for d in dirs]
+    if len(set(names)) != len(names):
+        raise SystemExit("input_dirs basenames must be unique "
+                         "(they name the output subdirectories)")
+    warmup = 0 if args.no_warmup else WARMUP_FRAMES
+    seqs = {}
+    for d, name in zip(dirs, names):
+        data = load_inference_frames(input_dir_lr=d, as_uint8=True,
+                                     max_frames=args.max_frames,
+                                     warmup=not args.no_warmup)
+        seqs[name] = data.inputs  # (T, h, w, 3) uint8
+    shapes = {v.shape[1:] for v in seqs.values()}
+    if len(shapes) != 1:
+        raise SystemExit(f"all streams must share one LR geometry, got {shapes}")
+    h, w, _ = shapes.pop()
+
+    gen_params, fnet_params = load_inference_params(args, config)
+    srv = VSRServer(config, gen_params, fnet_params, h, w,
+                    max_streams=args.max_streams, output="uint8")
+
+    pending = list(seqs)        # admission queue
+    cursor = {n: 0 for n in seqs}
+    writers = {}
+    t0 = time.perf_counter()
+    ticks = frames_done = 0
+    while pending or srv.open_streams:
+        # Admit while slots are free (continuous batching).
+        while pending and len(srv.open_streams) < args.max_streams:
+            name = pending.pop(0)
+            srv.open(name)
+            writers[name] = FrameWriter(
+                os.path.join(args.output_dir, name), name=args.output_name,
+                warmup=warmup, num_threads=2)
+            print(f"[serve] +{name} ({seqs[name].shape[0]} frames, "
+                  f"{len(srv.open_streams)}/{args.max_streams} slots)")
+        tick_frames = {n: seqs[n][cursor[n]] for n in srv.open_streams}
+        out = srv.step(tick_frames)
+        ticks += 1
+        for name, hr in out.items():
+            idx = cursor[name]
+            if idx >= warmup:  # drop warm-up outputs (reference main.py:262-269)
+                writers[name].submit(hr[None], idx)
+                frames_done += 1
+            cursor[name] += 1
+            if cursor[name] >= seqs[name].shape[0]:
+                srv.close(name)
+                print(f"[serve] -{name} done")
+    secs = time.perf_counter() - t0
+    written = {n: wtr.close() for n, wtr in writers.items()}
+    print(f"total time {secs:.2f}, frame number {sum(written.values())}")
+    print(f"{ticks} ticks, {frames_done/secs:.1f} frames/sec aggregate; "
+          f"wrote {written}")
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+    if args.export:
+        run_export(args, config)
+        return
+    if not args.input_dirs or not args.output_dir:
+        raise SystemExit("serving needs --input_dirs and --output_dir "
+                         "(or use --export)")
+    os.makedirs(args.output_dir, exist_ok=True)
+    run_serve(args, config)
+
+
+if __name__ == "__main__":
+    main()

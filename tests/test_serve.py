@@ -7,6 +7,8 @@ the shared batch, slot reuse must reset state, and the exported StableHLO
 artifact must round-trip to the same numbers.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -174,6 +176,47 @@ def test_lifecycle_errors(rng):
     srv.close("a")
     srv.open("b")  # slot freed
     assert srv.open_streams == ("b",)
+
+
+def test_cli_serve_matches_single_stream_inference(rng, tmp_path):
+    """cli.serve over two unequal-length streams == cli.main one-at-a-time
+    (same weights via the same seed; reference main.py:253-270 loop)."""
+    import cv2
+
+    from tecogan_tpu.cli import main as cli_main
+    from tecogan_tpu.cli import serve as cli_serve
+
+    lengths = {"scene_a": 8, "scene_b": 6}
+    for name, t in lengths.items():
+        d = tmp_path / "LR" / name
+        d.mkdir(parents=True)
+        for i in range(t):
+            cv2.imwrite(str(d / f"{i:04d}.png"),
+                        (rng.rand(H, W, 3) * 255).astype(np.uint8))
+
+    serve_out = tmp_path / "served"
+    cli_serve.main([
+        "--input_dirs", f"{tmp_path}/LR/scene_a,{tmp_path}/LR/scene_b",
+        "--output_dir", str(serve_out), "--max_streams", "2",
+        "--allow_random_weights", "--num_resblock", "2",
+    ])
+    for name, t in lengths.items():
+        ref_out = tmp_path / "single" / name
+        cli_main.main([
+            "--mode", "inference",
+            "--input_dir_LR", f"{tmp_path}/LR/{name}",
+            "--output_dir", str(tmp_path / "single"), "--output_pre", name,
+            "--allow_random_weights", "--num_resblock", "2",
+        ])
+        got = sorted(os.listdir(serve_out / name))
+        want = sorted(os.listdir(ref_out))
+        assert len(got) == t and got == want
+        for f in got:
+            a = cv2.imread(str(serve_out / name / f))
+            b = cv2.imread(str(ref_out / f))
+            # Same math, different batching (per-frame fnet vs chunk-batched)
+            # -> identical up to the uint8 quantization boundary.
+            assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
 
 
 def test_export_roundtrip(rng, tmp_path):
