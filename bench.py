@@ -126,6 +126,7 @@ def main() -> None:
     # cost the pipeline overlaps with compute (data/inference.py). This is
     # the number that shows host I/O no longer binds on a co-located host.
     try:
+        import shutil
         import tempfile
         import time as _time
 
@@ -133,19 +134,22 @@ def main() -> None:
 
         d = tempfile.mkdtemp()
         io = NativeFrameIO(8)
-        lr_paths = [os.path.join(d, f"lr_{i:04d}.png")
-                    for i in range(FRAMES + WARMUP)]
-        io.encode_frames(lr_paths, frames_u8)
-        hr_u8 = hr if isinstance(hr, np.ndarray) else np.zeros(
-            (FRAMES, 4 * H, 4 * W, 3), np.uint8)
-        hr_paths = [os.path.join(d, f"hr_{i:04d}.png")
-                    for i in range(hr_u8.shape[0])]
-        t0 = _time.perf_counter()
-        io.decode_frames(lr_paths)
-        io.encode_frames(hr_paths, hr_u8)
-        png_secs = _time.perf_counter() - t0
-        io.close()
-        host_png_fps = FRAMES / png_secs
+        try:
+            lr_paths = [os.path.join(d, f"lr_{i:04d}.png")
+                        for i in range(FRAMES + WARMUP)]
+            io.encode_frames(lr_paths, frames_u8)
+            hr_u8 = hr if isinstance(hr, np.ndarray) else np.zeros(
+                (FRAMES, 4 * H, 4 * W, 3), np.uint8)
+            hr_paths = [os.path.join(d, f"hr_{i:04d}.png")
+                        for i in range(hr_u8.shape[0])]
+            t0 = _time.perf_counter()
+            io.decode_frames(lr_paths)
+            io.encode_frames(hr_paths, hr_u8)
+            png_secs = _time.perf_counter() - t0
+            host_png_fps = FRAMES / png_secs
+        finally:
+            io.close()
+            shutil.rmtree(d, ignore_errors=True)
     except Exception:
         host_png_fps = -1.0
 

@@ -45,6 +45,10 @@ Image decode_png_rgb(const char* path) {
   Image img;
   FILE* fp = fopen(path, "rb");
   if (!fp) return img;
+  // Declared BEFORE the setjmp guard: a libpng longjmp skips destructors of
+  // objects constructed after setjmp, but objects already in scope at the
+  // setjmp point are destroyed normally when the guard returns.
+  std::vector<png_bytep> rows;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   png_infop info = png ? png_create_info_struct(png) : nullptr;
@@ -75,7 +79,7 @@ Image decode_png_rgb(const char* path) {
   img.h = static_cast<int>(h);
   img.w = static_cast<int>(w);
   img.rgb.resize(static_cast<size_t>(h) * w * 3);
-  std::vector<png_bytep> rows(h);
+  rows.resize(h);
   for (png_uint_32 y = 0; y < h; ++y)
     rows[y] = img.rgb.data() + static_cast<size_t>(y) * w * 3;
   png_read_image(png, rows.data());
@@ -92,6 +96,8 @@ Image decode_png_rgb(const char* path) {
 bool encode_png_rgb(const char* path, const uint8_t* rgb, int h, int w) {
   FILE* fp = fopen(path, "wb");
   if (!fp) return false;
+  // Before setjmp: longjmp must not skip the vector's destructor (above).
+  std::vector<png_bytep> rows;
   png_structp png =
       png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   png_infop info = png ? png_create_info_struct(png) : nullptr;
@@ -107,7 +113,7 @@ bool encode_png_rgb(const char* path, const uint8_t* rgb, int h, int w) {
   png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
-  std::vector<png_bytep> rows(h);
+  rows.resize(h);
   for (int y = 0; y < h; ++y)
     rows[y] = const_cast<png_bytep>(rgb + static_cast<size_t>(y) * w * 3);
   png_write_image(png, rows.data());
@@ -323,6 +329,44 @@ int td_decode_frames(void* handle, const char* const* paths, int n, int* h,
       } else {
         const size_t m = static_cast<size_t>(hh) * ww * 3;
         for (size_t j = 0; j < m; ++j) dst[j] = img.rgb[j] / 255.0f;
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        done.fetch_add(1);
+      }
+      cv.notify_one();
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return err.load();
+}
+
+// Same as td_decode_frames but writes raw uint8 RGB — the cheap-upload
+// path (device-side /255) needs no float conversion, and the uint8 buffer
+// is 4x smaller. Returns failed-frame count, -1 on header/capacity error.
+int td_decode_frames_u8(void* handle, const char* const* paths, int n, int* h,
+                        int* w, uint8_t* out, int64_t cap) {
+  if (n <= 0) return 0;
+  if (td_png_dims(paths[0], h, w) != 0) return -1;
+  const int64_t per = static_cast<int64_t>(*h) * *w * 3;
+  if (per * n > cap) return -1;
+  Loader* loader = static_cast<Loader*>(handle);
+  std::atomic<int> err{0};
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  const int hh = *h, ww = *w;
+  for (int i = 0; i < n; ++i) {
+    const char* path = paths[i];
+    uint8_t* dst = out + per * i;
+    loader->pool.submit([path, dst, hh, ww, &err, &done, &cv, &mu] {
+      Image img = decode_png_rgb(path);
+      if (!img.ok() || img.h != hh || img.w != ww) {
+        err.fetch_add(1);
+      } else {
+        std::memcpy(dst, img.rgb.data(),
+                    static_cast<size_t>(hh) * ww * 3);
       }
       {
         std::lock_guard<std::mutex> lk(mu);

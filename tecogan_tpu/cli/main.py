@@ -162,17 +162,18 @@ def run_inference(args, config) -> None:
     from tecogan_tpu.data.inference import FrameWriter, load_inference_frames
     from tecogan_tpu.recurrent.inference import WARMUP_FRAMES, StreamingSR
 
-    data = load_inference_frames(
-        input_dir_lr=args.input_dir_LR,
-        input_dir_hr=args.input_dir_HR,
-        max_frames=args.max_frames,
-        as_uint8=True,
-    )
     if args.pipeline and args.spatial_shards > 1:
+        # Before the (potentially minutes-long) sequence decode.
         raise SystemExit(
             "--pipeline and --spatial_shards are mutually exclusive "
             "parallelism strategies; pass exactly one"
         )
+    data = load_inference_frames(
+        input_dir_lr=args.input_dir_LR,
+        input_dir_hr=args.input_dir_HR,
+        max_frames=args.max_frames,
+        as_uint8=not args.pipeline,  # pipeline path consumes f32
+    )
     gen_params, fnet_params = load_inference_params(args, config)
     out_dir = os.path.join(args.output_dir, args.output_pre)
     if args.pipeline:
@@ -182,7 +183,7 @@ def run_inference(args, config) -> None:
         sr = PipelinedStreamingSR(config, gen_params, fnet_params,
                                   output="uint8")
         inputs = data.inputs
-        if inputs.dtype == np.uint8:  # pipeline path takes f32
+        if inputs.dtype == np.uint8:  # only on the HR->LR gauss path
             inputs = inputs.astype(np.float32) / 255.0
         hr, secs = sr.run(inputs, warmup=WARMUP_FRAMES)
         n = inputs.shape[0]

@@ -68,7 +68,10 @@ def case0(root: str, allow_network: bool) -> None:
                         f"rm {zpath}", shell=True)
 
 
-def case1(root: str, scenes, extra) -> None:
+def case1(root: str, scenes, extra) -> int:
+    """Returns the max inference-subprocess return code (reference runGan.py
+    ignores child failures; the parity gate must not)."""
+    rc_max = 0
     dirstr = os.path.join(root, "results")
     os.makedirs(dirstr, exist_ok=True)
     model_npz = os.path.join(root, "model", "TecoGAN.npz")
@@ -91,7 +94,11 @@ def case1(root: str, scenes, extra) -> None:
                   "(run case 0 for instructions)")
             cmd += ["--allow_random_weights"]
         cmd += extra
-        subprocess.call(cmd)
+        rc = subprocess.call(cmd)
+        if rc != 0:
+            print(f"case1: inference subprocess for {scene} exited rc={rc}")
+        rc_max = max(rc_max, rc)
+    return rc_max
 
 
 def case2(root: str, scenes, extra) -> None:
@@ -130,7 +137,14 @@ def read_frameavg_csv(csv_path: str) -> dict:
 def compare_parity(ours: dict, ref: dict,
                    psnr_tol: float = 0.1, tof_rtol: float = 0.02) -> bool:
     """North-star gate (BASELINE.md): PSNR within ``psnr_tol`` dB and tOF
-    within ``tof_rtol`` of the reference implementation's numbers."""
+    within ``tof_rtol`` of the reference implementation's numbers.
+
+    A reference dict with NO comparable keys fails: a gate that compared
+    nothing must not report PASS (malformed/wrong --ref_csv)."""
+    if not any(k in ref for k in ("FrameAvg_PSNR", "FrameAvg_tOF")):
+        print("PARITY: reference CSV has no FrameAvg_PSNR/FrameAvg_tOF "
+              "block — wrong or malformed metrics.csv; nothing compared")
+        return False
     ok = True
     if "FrameAvg_PSNR" in ref:
         d = ours["FrameAvg_PSNR"] - ref["FrameAvg_PSNR"]
@@ -164,7 +178,11 @@ def case_parity(root: str, scenes, extra, ref_csv=None) -> int:
         print(f"parity gate needs {model_npz}; run "
               "`python -m tecogan_tpu.cli.run 0` for the conversion recipe")
         return 2
-    case1(root, scenes, extra)
+    rc = case1(root, scenes, extra)
+    if rc != 0:
+        print(f"PARITY GATE: INCONCLUSIVE (inference failed, rc={rc}); "
+              "results/ may hold stale frames — not evaluating them")
+        return 2
     from tecogan_tpu.eval import evaluate_folders
 
     dirstr = os.path.join(root, "results")

@@ -31,12 +31,18 @@ class InferenceData(NamedTuple):
 
 
 def _native_io(num_threads: int = 8):
+    import subprocess
+
     try:
         from tecogan_tpu.data.native_loader import NativeFrameIO
 
         return NativeFrameIO(num_threads)
-    except (ImportError, OSError) as exc:
-        print(f"inference IO: native decoder unavailable ({exc}); using cv2")
+    except (ImportError, OSError, subprocess.CalledProcessError) as exc:
+        # CalledProcessError: the on-demand g++ build failed (e.g. libpng-dev
+        # missing) — same fallback set as data/loader.py executor="auto".
+        detail = exc.stderr.decode(errors="replace").strip() if isinstance(
+            exc, subprocess.CalledProcessError) and exc.stderr else exc
+        print(f"inference IO: native decoder unavailable ({detail}); using cv2")
         return None
 
 
@@ -72,12 +78,11 @@ def load_inference_frames(
         io = _native_io()
         if io is not None:
             try:
-                dec = io.decode_frames(paths)  # (T, h, w, 3) f32 [0,1]
                 if as_uint8:
-                    # exact: dec is k/255 for integer k, so *255 rounds back
-                    frames = np.round(dec * 255.0).astype(np.uint8)
+                    # straight uint8 decode — no float round-trip
+                    frames = io.decode_frames_u8(paths)
                 else:
-                    frames = dec
+                    frames = io.decode_frames(paths)  # (T, h, w, 3) f32 [0,1]
             finally:
                 io.close()
 

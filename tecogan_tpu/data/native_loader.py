@@ -74,6 +74,12 @@ def load_library() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ]
+        lib.td_decode_frames_u8.restype = ctypes.c_int
+        lib.td_decode_frames_u8.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
         lib.td_encode_frames.restype = ctypes.c_int
         lib.td_encode_frames.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
@@ -157,6 +163,24 @@ class NativeFrameIO:
         )
         if rc != 0:
             raise IOError(f"native decode_frames failed for {rc} frame(s)")
+        assert (ch.value, cw.value) == (h, w)
+        return out
+
+    def decode_frames_u8(self, paths: Sequence[str]) -> np.ndarray:
+        """-> (len(paths), H, W, 3) uint8 — the PNG's own precision, no
+        float round-trip (4x less memory traffic than decode_frames; the
+        cheap-upload inference path normalizes on device)."""
+        n = len(paths)
+        h, w = png_dims(paths[0])
+        out = np.empty((n, h, w, 3), np.uint8)
+        arr, keep = _path_array(paths)
+        ch, cw = ctypes.c_int(), ctypes.c_int()
+        rc = self._lib.td_decode_frames_u8(
+            self._handle, arr, n, ctypes.byref(ch), ctypes.byref(cw),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+        )
+        if rc != 0:
+            raise IOError(f"native decode_frames_u8 failed for {rc} frame(s)")
         assert (ch.value, cw.value) == (h, w)
         return out
 

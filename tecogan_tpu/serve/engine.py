@@ -218,7 +218,11 @@ class VSRServer:
         if missing:
             raise KeyError(f"streams not open: {missing}")
         first = np.asarray(frames[ids[0]])
-        np_dtype = np.uint8 if first.dtype == np.uint8 else np.float32
+        if first.dtype not in (np.uint8, np.float32):
+            raise ValueError(
+                f"frames must be uint8 or float32 in [0, 1], got "
+                f"{first.dtype} (cast float inputs to float32)")
+        np_dtype = first.dtype.type
         lr = np.zeros((self.max_streams, self.height, self.width, 3),
                       np_dtype)
         reset = np.zeros((self.max_streams,), bool)

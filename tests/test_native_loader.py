@@ -47,6 +47,24 @@ def test_png_dims(scene_root):
     assert png_dims(f"{scene_root}/scene_2000/col_high_0000.png") == (96, 112)
 
 
+def test_decode_frames_u8_matches_float(scene_root):
+    """The direct uint8 decode == the f32 decode rescaled (f32 is k/255
+    exactly, so *255 round-trips bit-perfectly)."""
+    from tecogan_tpu.data.native_loader import NativeFrameIO
+
+    paths = [f"{scene_root}/scene_2000/col_high_{i:04d}.png"
+             for i in range(4)]
+    io = NativeFrameIO(2)
+    try:
+        u8 = io.decode_frames_u8(paths)
+        f32 = io.decode_frames(paths)
+    finally:
+        io.close()
+    assert u8.dtype == np.uint8 and u8.shape == f32.shape
+    np.testing.assert_array_equal(
+        u8, np.round(f32 * 255.0).astype(np.uint8))
+
+
 def test_plan_matches_load_sequence(cfg, rng):
     """plan_sequence + load_plan == the original one-shot load_sequence."""
     ds = SceneDataset(cfg)
