@@ -171,6 +171,8 @@ class StreamingSR:
             return s2d_ok and fold_s2d_active(
                 self.config, lr.shape[1], lr.shape[2])
 
+        up_pallas = (self.config.pallas_flow_upsample == "on"
+                     and spatial_mesh is None)
         flow_mode = self.config.inline_flow
 
         def use_inline_flow(h, w):
@@ -220,6 +222,14 @@ class StreamingSR:
                 # Scan carries the LR flow (16x smaller); the warp upsamples
                 # per tile (ops/warp.py:dense_image_warp_flowlr).
                 flow_x = pad_flow_to(flow_lr, h, w).reshape(t, b, h, w, 2)
+            elif up_pallas:
+                from tecogan_tpu.kernels.upsample4 import (
+                    upscale_bilinear_pallas,
+                )
+
+                flow_x = upscale_bilinear_pallas(
+                    pad_flow_to(flow_lr, h, w) * 4.0
+                ).reshape(t, b, 4 * h, 4 * w, 2)
             else:
                 flow_x = upscale_flow(flow_lr, h, w).reshape(
                     t, b, 4 * h, 4 * w, 2)
