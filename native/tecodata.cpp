@@ -25,10 +25,14 @@
 #include <cstdint>
 #include <cstring>
 #include <functional>
+#include <list>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <string>
 #include <thread>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -167,6 +171,66 @@ class ThreadPool {
   bool stop_ = false;
 };
 
+// ------------------------------------------------------------- frame cache
+// LRU cache of decoded frames, shared across the pool. Plays the role of
+// the reference's loadHR_batch strategy (dataloader.py:53-167: decode a
+// whole scene per queue element so overlapping RNN windows share decodes)
+// — redesigned as a byte-budgeted cache instead of scene-granular queue
+// elements: overlapping windows across the whole epoch share decodes, not
+// just windows of one queue element. Decoded images are immutable and
+// handed out as shared_ptr, so readers run lock-free after lookup.
+class FrameCache {
+ public:
+  explicit FrameCache(size_t budget_bytes) : budget_(budget_bytes) {}
+
+  bool enabled() const { return budget_ > 0; }
+
+  std::shared_ptr<const Image> get_or_decode(const std::string& path) {
+    if (!enabled()) {
+      return std::make_shared<const Image>(decode_png_rgb(path.c_str()));
+    }
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      auto it = map_.find(path);
+      if (it != map_.end()) {
+        lru_.splice(lru_.begin(), lru_, it->second.second);
+        return it->second.first;
+      }
+    }
+    // Decode outside the lock (two threads may race on the same path; the
+    // duplicate decode is rare and harmless — last insert wins).
+    auto img = std::make_shared<const Image>(decode_png_rgb(path.c_str()));
+    if (!img->ok()) return img;  // never cache failures
+    const size_t bytes = img->rgb.size() + path.size() + 128;
+    std::lock_guard<std::mutex> lk(mu_);
+    auto it = map_.find(path);
+    if (it != map_.end()) {  // raced: keep the existing entry
+      lru_.splice(lru_.begin(), lru_, it->second.second);
+      return it->second.first;
+    }
+    lru_.push_front(path);
+    map_.emplace(path, std::make_pair(img, lru_.begin()));
+    used_ += bytes;
+    while (used_ > budget_ && !lru_.empty()) {
+      const std::string& victim = lru_.back();
+      auto vit = map_.find(victim);
+      used_ -= vit->second.first->rgb.size() + victim.size() + 128;
+      map_.erase(vit);
+      lru_.pop_back();
+    }
+    return img;
+  }
+
+ private:
+  size_t budget_, used_ = 0;
+  std::mutex mu_;
+  std::list<std::string> lru_;  // front = most recent
+  std::unordered_map<
+      std::string,
+      std::pair<std::shared_ptr<const Image>, std::list<std::string>::iterator>>
+      map_;
+};
+
 // One sequence task: decode rnn_n frames (path-deduped), crop tar x tar at
 // per-frame offsets, optional horizontal flip, write normalized float32 RGB.
 struct SeqTask {
@@ -178,24 +242,24 @@ struct SeqTask {
   std::atomic<int>* err;
 };
 
-void run_sequence(const SeqTask& t) {
-  Image cache;
+void run_sequence(const SeqTask& t, FrameCache& fc) {
+  std::shared_ptr<const Image> cache;
   std::string cache_path;
   for (int f = 0; f < t.rnn_n; ++f) {
-    if (cache_path != t.paths[f]) {
-      cache = decode_png_rgb(t.paths[f]);
+    if (cache_path != t.paths[f]) {  // local dedupe (movingFirstFrame repeats)
+      cache = fc.get_or_decode(t.paths[f]);
       cache_path = t.paths[f];
     }
-    if (!cache.ok() || t.oy[f] < 0 || t.ox[f] < 0 ||
-        t.oy[f] + t.tar > cache.h || t.ox[f] + t.tar > cache.w) {
+    if (!cache->ok() || t.oy[f] < 0 || t.ox[f] < 0 ||
+        t.oy[f] + t.tar > cache->h || t.ox[f] + t.tar > cache->w) {
       t.err->fetch_add(1);
       return;
     }
     float* dst = t.out + static_cast<size_t>(f) * t.tar * t.tar * 3;
     for (int y = 0; y < t.tar; ++y) {
       const uint8_t* src =
-          cache.rgb.data() +
-          (static_cast<size_t>(t.oy[f] + y) * cache.w + t.ox[f]) * 3;
+          cache->rgb.data() +
+          (static_cast<size_t>(t.oy[f] + y) * cache->w + t.ox[f]) * 3;
       float* row = dst + static_cast<size_t>(y) * t.tar * 3;
       if (!t.flip) {
         for (int x = 0; x < t.tar * 3; ++x) row[x] = src[x] / 255.0f;
@@ -212,15 +276,23 @@ void run_sequence(const SeqTask& t) {
 }
 
 struct Loader {
-  explicit Loader(int threads) : pool(threads) {}
+  Loader(int threads, size_t cache_bytes)
+      : pool(threads), cache(cache_bytes) {}
   ThreadPool pool;
+  FrameCache cache;
 };
 
 }  // namespace
 
 extern "C" {
 
-void* td_open(int num_threads) { return new Loader(num_threads); }
+void* td_open(int num_threads) { return new Loader(num_threads, 0); }
+
+// Like td_open, with an LRU decoded-frame cache of ``cache_mb`` MB shared
+// by the pool (0 = off) — the loadHR_batch decode-amortization analog.
+void* td_open_cached(int num_threads, int cache_mb) {
+  return new Loader(num_threads, static_cast<size_t>(cache_mb) << 20);
+}
 
 void td_close(void* handle) { delete static_cast<Loader*>(handle); }
 
@@ -287,8 +359,8 @@ int td_load_batch(void* handle, const char* const* paths, const int32_t* oy,
     t.flip = flip[s];
     t.out = out + static_cast<size_t>(s) * rnn_n * tar * tar * 3;
     t.err = &err;
-    loader->pool.submit([t, &done, &cv, &mu] {
-      run_sequence(t);
+    loader->pool.submit([t, loader, &done, &cv, &mu] {
+      run_sequence(t, loader->cache);
       {
         std::lock_guard<std::mutex> lk(mu);
         done.fetch_add(1);

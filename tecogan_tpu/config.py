@@ -48,6 +48,11 @@ class TecoConfig:
     max_frm: int = 119
     queue_thread: int = 6            # host decode threads
     prefetch_depth: int = 2          # device prefetch (double-buffer)
+    loader_cache_mb: int = 256       # LRU decoded-frame cache shared by the
+    #   loader pool (0 = off): overlapping RNN windows share decodes across
+    #   the epoch — the reference loadHR_batch strategy (dataloader.py:
+    #   53-167 decodes a whole scene per queue element) redesigned as a
+    #   byte-budgeted cache. Batches are bit-identical either way.
     gaussian_sigma: float = 1.5      # HR->LR gaussian down-4 sigma (ops.py:347)
 
     # --- losses (reference main.py:77-103, Teco.py:280-399) ---

@@ -60,12 +60,43 @@ class SeqPlan(NamedTuple):
     flip: bool
 
 
+class _FrameLRU:
+    """Thread-safe byte-budgeted LRU of decoded uint8 frames (the python
+    executor's analog of the C++ FrameCache; see ``loader_cache_mb``)."""
+
+    def __init__(self, budget_mb: int):
+        from collections import OrderedDict
+
+        self.budget = budget_mb << 20
+        self.used = 0
+        self._map: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, path: str) -> Optional[np.ndarray]:
+        with self._lock:
+            img = self._map.get(path)
+            if img is not None:
+                self._map.move_to_end(path)
+            return img
+
+    def put(self, path: str, img: np.ndarray) -> None:
+        with self._lock:
+            if path in self._map:
+                return
+            self._map[path] = img
+            self.used += img.nbytes + len(path) + 128
+            while self.used > self.budget and self._map:
+                victim, vimg = self._map.popitem(last=False)
+                self.used -= vimg.nbytes + len(victim) + 128
+
+
 class SceneDataset:
     """Enumerates (scene, start_frame) windows and materializes augmented
     HR sequences."""
 
     def __init__(self, config: TecoConfig, validation: bool = False):
         self.config = config
+        self.frame_cache: Optional[_FrameLRU] = None  # set by BatchLoader
         lo = config.end_dir + 1 if validation else config.str_dir
         hi = config.end_dir_val if validation else config.end_dir
         self.scenes: List[str] = []
@@ -152,21 +183,36 @@ class SceneDataset:
         return SeqPlan(paths=paths, oy=oy, ox=ox, flip=flip)
 
     # ----------------------------------------------------------- sampling
-    def load_plan(self, plan: SeqPlan) -> np.ndarray:
-        """Execute a plan with cv2 -> (rnn_n, tar, tar, 3) float32 [0,1]."""
+    def _read_u8(self, path: str) -> np.ndarray:
+        """Decode one frame to uint8 RGB, through the shared LRU if set.
+        Cropping before the /255 conversion is bit-identical to converting
+        the full image first (pure elementwise)."""
         import cv2
 
+        if self.frame_cache is not None:
+            img = self.frame_cache.get(path)
+            if img is not None:
+                return img
+        im = cv2.imread(path, 3)
+        if im is None:
+            raise FileNotFoundError(path)
+        img = np.ascontiguousarray(im[:, :, ::-1])
+        if self.frame_cache is not None:
+            self.frame_cache.put(path, img)
+        return img
+
+    def load_plan(self, plan: SeqPlan) -> np.ndarray:
+        """Execute a plan with cv2 -> (rnn_n, tar, tar, 3) float32 [0,1]."""
         tar = self.config.hr_load_size
         frames = []
         cache_path, cache_img = None, None
         for p, oy, ox in zip(plan.paths, plan.oy, plan.ox):
             if p != cache_path:
-                im = cv2.imread(p, 3)
-                if im is None:
-                    raise FileNotFoundError(p)
-                cache_img = im[:, :, ::-1].astype(np.float32) / 255.0
+                cache_img = self._read_u8(p)
                 cache_path = p
-            frames.append(cache_img[oy : oy + tar, ox : ox + tar])
+            frames.append(
+                cache_img[oy : oy + tar, ox : ox + tar].astype(np.float32)
+                / 255.0)
         seq = np.stack(frames)
         if plan.flip:
             seq = seq[:, :, ::-1]
@@ -224,6 +270,7 @@ class BatchLoader:
                     num_threads=self.num_threads,
                     rnn_n=cfg.rnn_n,
                     tar=cfg.hr_load_size,
+                    cache_mb=cfg.loader_cache_mb,
                 )
             except (ImportError, OSError, _sp.CalledProcessError) as exc:
                 if executor == "native":
@@ -233,6 +280,10 @@ class BatchLoader:
                 print("BatchLoader: native decoder unavailable "
                       f"({type(exc).__name__}: {detail}); using the python "
                       "executor (slower; see tools/bench_loader.py)")
+        if self._native is None and cfg.loader_cache_mb > 0:
+            # Python-executor analog of the C++ frame cache (shared across
+            # the decode pool; batches stay bit-identical — tests pin this).
+            dataset.frame_cache = _FrameLRU(cfg.loader_cache_mb)
         self._queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=self.prefetch)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None

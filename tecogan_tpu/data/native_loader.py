@@ -49,6 +49,8 @@ def load_library() -> ctypes.CDLL:
         lib = ctypes.CDLL(build_library())
         lib.td_open.restype = ctypes.c_void_p
         lib.td_open.argtypes = [ctypes.c_int]
+        lib.td_open_cached.restype = ctypes.c_void_p
+        lib.td_open_cached.argtypes = [ctypes.c_int, ctypes.c_int]
         lib.td_close.argtypes = [ctypes.c_void_p]
         lib.td_decode.restype = ctypes.c_int
         lib.td_decode.argtypes = [
@@ -210,11 +212,18 @@ class NativeFrameIO:
 
 
 class NativeExecutor:
-    """Executes batches of SeqPlans through the C++ thread pool."""
+    """Executes batches of SeqPlans through the C++ thread pool.
 
-    def __init__(self, num_threads: int, rnn_n: int, tar: int):
+    ``cache_mb``: LRU decoded-frame cache shared by the pool (0 = off) —
+    overlapping RNN windows then share decodes across the epoch (the
+    reference's loadHR_batch amortization, dataloader.py:53-167, redesigned
+    as a byte-budgeted cache). Pixel-identical either way."""
+
+    def __init__(self, num_threads: int, rnn_n: int, tar: int,
+                 cache_mb: int = 0):
         self._lib = load_library()
-        self._handle = ctypes.c_void_p(self._lib.td_open(num_threads))
+        self._handle = ctypes.c_void_p(
+            self._lib.td_open_cached(num_threads, int(cache_mb)))
         self.rnn_n = rnn_n
         self.tar = tar
 

@@ -86,6 +86,24 @@ def test_native_batches_bitmatch_python(cfg):
         np.testing.assert_array_equal(a, b)
 
 
+def test_frame_cache_bitmatch_and_eviction(cfg):
+    """The decoded-frame LRU (loadHR_batch analog) must not change a single
+    bit of any batch, at a generous budget, a 1 MB thrashing budget, and
+    off — for BOTH executors (C++ FrameCache and python _FrameLRU)."""
+    ref_batches = None
+    for executor in ("python", "native"):
+        for mb in (0, 1, 64):
+            c = cfg.replace(loader_cache_mb=mb)
+            with BatchLoader(SceneDataset(c), seed=11,
+                             executor=executor) as loader:
+                got = [loader.next_batch() for _ in range(3)]
+            if ref_batches is None:
+                ref_batches = got
+            else:
+                for a, b in zip(ref_batches, got):
+                    np.testing.assert_array_equal(a, b)
+
+
 def test_native_executor_moving_first_frame(cfg):
     """Force the movingFirstFrame branch (repeated paths, per-frame crops)."""
     from tecogan_tpu.data.native_loader import NativeExecutor

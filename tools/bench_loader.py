@@ -31,21 +31,26 @@ def main() -> None:
                          str_dir=1000, end_dir=1000 + n_scenes - 1,
                          end_dir_val=1000 + n_scenes - 1,
                          input_video_dir=td, queue_thread=6, max_frm=29)
-        ds = SceneDataset(cfg)
         for executor in ("python", "native"):
-            try:
-                loader = BatchLoader(ds, executor=executor)
-            except Exception as e:  # native lib may be unbuilt
-                print(f"{executor}: unavailable ({e})")
-                continue
-            with loader:
-                loader.next_batch()  # warm the thread pool
-                t0 = time.perf_counter()
-                for _ in range(n_batches):
-                    loader.next_batch()
-                dt = time.perf_counter() - t0
-            print(f"{executor:6s}: {n_batches / dt:6.1f} batches/sec "
-                  f"({dt / n_batches * 1e3:.1f} ms/batch)")
+            for cache_mb in (0, 256):
+                c = cfg.replace(loader_cache_mb=cache_mb)
+                try:
+                    loader = BatchLoader(SceneDataset(c), executor=executor)
+                except Exception as e:  # native lib may be unbuilt
+                    print(f"{executor}: unavailable ({e})")
+                    break
+                with loader:
+                    # Warm the pool AND the frame cache (steady-state number;
+                    # one pass covers the window set at these scene sizes).
+                    for _ in range(n_batches // 2):
+                        loader.next_batch()
+                    t0 = time.perf_counter()
+                    for _ in range(n_batches):
+                        loader.next_batch()
+                    dt = time.perf_counter() - t0
+                print(f"{executor:6s} cache={cache_mb:3d}MB: "
+                      f"{n_batches / dt:6.1f} batches/sec "
+                      f"({dt / n_batches * 1e3:.1f} ms/batch)")
 
 
 if __name__ == "__main__":
