@@ -238,7 +238,8 @@ struct SeqTask {
   const int32_t* oy;         // rnn_n offsets
   const int32_t* ox;
   int rnn_n, tar, flip;
-  float* out;  // rnn_n * tar * tar * 3
+  float* out = nullptr;      // rnn_n * tar * tar * 3 float [0,1], or
+  uint8_t* out_u8 = nullptr;  // ... raw uint8 (cheap-upload training path)
   std::atomic<int>* err;
 };
 
@@ -255,15 +256,30 @@ void run_sequence(const SeqTask& t, FrameCache& fc) {
       t.err->fetch_add(1);
       return;
     }
-    float* dst = t.out + static_cast<size_t>(f) * t.tar * t.tar * 3;
+    const size_t plane = static_cast<size_t>(f) * t.tar * t.tar * 3;
     for (int y = 0; y < t.tar; ++y) {
       const uint8_t* src =
           cache->rgb.data() +
           (static_cast<size_t>(t.oy[f] + y) * cache->w + t.ox[f]) * 3;
-      float* row = dst + static_cast<size_t>(y) * t.tar * 3;
+      const size_t roff = plane + static_cast<size_t>(y) * t.tar * 3;
+      if (t.out_u8 != nullptr) {  // raw uint8 crops (device-side /255)
+        uint8_t* row = t.out_u8 + roff;
+        if (!t.flip) {
+          std::memcpy(row, src, static_cast<size_t>(t.tar) * 3);
+        } else {  // mirror columns (reference lib/ops.py:230-235)
+          for (int x = 0; x < t.tar; ++x) {
+            const uint8_t* px = src + (t.tar - 1 - x) * 3;
+            row[x * 3 + 0] = px[0];
+            row[x * 3 + 1] = px[1];
+            row[x * 3 + 2] = px[2];
+          }
+        }
+        continue;
+      }
+      float* row = t.out + roff;
       if (!t.flip) {
         for (int x = 0; x < t.tar * 3; ++x) row[x] = src[x] / 255.0f;
-      } else {  // mirror columns (reference lib/ops.py:230-235)
+      } else {
         for (int x = 0; x < t.tar; ++x) {
           const uint8_t* px = src + (t.tar - 1 - x) * 3;
           row[x * 3 + 0] = px[0] / 255.0f;
@@ -341,9 +357,10 @@ int td_decode(const char* path, float* out, int* h, int* w, int cap) {
 //   oy/ox: n_seq * rnn_n crop offsets; flip: n_seq flags
 //   out:   n_seq * rnn_n * tar * tar * 3 float32
 // Returns number of failed sequences (0 = success).
-int td_load_batch(void* handle, const char* const* paths, const int32_t* oy,
-                  const int32_t* ox, const int32_t* flip, int n_seq,
-                  int rnn_n, int tar, float* out) {
+static int load_batch_impl(void* handle, const char* const* paths,
+                           const int32_t* oy, const int32_t* ox,
+                           const int32_t* flip, int n_seq, int rnn_n,
+                           int tar, float* out, uint8_t* out_u8) {
   Loader* loader = static_cast<Loader*>(handle);
   std::atomic<int> err{0};
   std::atomic<int> done{0};
@@ -357,7 +374,9 @@ int td_load_batch(void* handle, const char* const* paths, const int32_t* oy,
     t.rnn_n = rnn_n;
     t.tar = tar;
     t.flip = flip[s];
-    t.out = out + static_cast<size_t>(s) * rnn_n * tar * tar * 3;
+    const size_t off = static_cast<size_t>(s) * rnn_n * tar * tar * 3;
+    t.out = out ? out + off : nullptr;
+    t.out_u8 = out_u8 ? out_u8 + off : nullptr;
     t.err = &err;
     loader->pool.submit([t, loader, &done, &cv, &mu] {
       run_sequence(t, loader->cache);
@@ -371,6 +390,24 @@ int td_load_batch(void* handle, const char* const* paths, const int32_t* oy,
   std::unique_lock<std::mutex> lk(mu);
   cv.wait(lk, [&] { return done.load() == n_seq; });
   return err.load();
+}
+
+int td_load_batch(void* handle, const char* const* paths, const int32_t* oy,
+                  const int32_t* ox, const int32_t* flip, int n_seq,
+                  int rnn_n, int tar, float* out) {
+  return load_batch_impl(handle, paths, oy, ox, flip, n_seq, rnn_n, tar, out,
+                         nullptr);
+}
+
+// As td_load_batch but emits raw uint8 crops — the cheap-upload training
+// path (4x less host->device / DCN traffic; /255 happens on device,
+// train/trainer.py:prepare_batch).
+int td_load_batch_u8(void* handle, const char* const* paths,
+                     const int32_t* oy, const int32_t* ox,
+                     const int32_t* flip, int n_seq, int rnn_n, int tar,
+                     uint8_t* out) {
+  return load_batch_impl(handle, paths, oy, ox, flip, n_seq, rnn_n, tar,
+                         nullptr, out);
 }
 
 // Decode n same-geometry PNG frames in parallel into a contiguous

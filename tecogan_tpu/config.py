@@ -48,6 +48,11 @@ class TecoConfig:
     max_frm: int = 119
     queue_thread: int = 6            # host decode threads
     prefetch_depth: int = 2          # device prefetch (double-buffer)
+    train_upload_uint8: bool = True  # BatchLoader emits raw uint8 crops and
+    #   the train step normalizes on device (trainer.py:prepare_batch) — 4x
+    #   less host->device / DCN feed traffic, same trick as inference
+    #   uploads. The on-device /255 is a reciprocal multiply (1 ulp vs host
+    #   division — the documented inference bound); False restores host f32.
     loader_cache_mb: int = 256       # LRU decoded-frame cache shared by the
     #   loader pool (0 = off): overlapping RNN windows share decodes across
     #   the epoch — the reference loadHR_batch strategy (dataloader.py:

@@ -201,8 +201,9 @@ class SceneDataset:
             self.frame_cache.put(path, img)
         return img
 
-    def load_plan(self, plan: SeqPlan) -> np.ndarray:
-        """Execute a plan with cv2 -> (rnn_n, tar, tar, 3) float32 [0,1]."""
+    def load_plan(self, plan: SeqPlan, as_uint8: bool = False) -> np.ndarray:
+        """Execute a plan with cv2 -> (rnn_n, tar, tar, 3) float32 [0,1], or
+        raw uint8 with ``as_uint8`` (cheap-upload path; device-side /255)."""
         tar = self.config.hr_load_size
         frames = []
         cache_path, cache_img = None, None
@@ -210,17 +211,18 @@ class SceneDataset:
             if p != cache_path:
                 cache_img = self._read_u8(p)
                 cache_path = p
+            crop = cache_img[oy : oy + tar, ox : ox + tar]
             frames.append(
-                cache_img[oy : oy + tar, ox : ox + tar].astype(np.float32)
-                / 255.0)
+                crop if as_uint8 else crop.astype(np.float32) / 255.0)
         seq = np.stack(frames)
         if plan.flip:
             seq = seq[:, :, ::-1]
         return np.ascontiguousarray(seq)
 
-    def load_sequence(self, index: int, rng: np.random.RandomState) -> np.ndarray:
-        """Load + augment one window -> (rnn_n, tar, tar, 3) float32 [0,1]."""
-        return self.load_plan(self.plan_sequence(index, rng))
+    def load_sequence(self, index: int, rng: np.random.RandomState,
+                      as_uint8: bool = False) -> np.ndarray:
+        """Load + augment one window -> (rnn_n, tar, tar, 3)."""
+        return self.load_plan(self.plan_sequence(index, rng), as_uint8)
 
 
 class BatchLoader:
@@ -280,6 +282,9 @@ class BatchLoader:
                 print("BatchLoader: native decoder unavailable "
                       f"({type(exc).__name__}: {detail}); using the python "
                       "executor (slower; see tools/bench_loader.py)")
+        # Emit raw uint8 batches (4x less host->device / DCN traffic; the
+        # train step normalizes on device, trainer.py:prepare_batch).
+        self.as_uint8 = bool(cfg.train_upload_uint8)
         if self._native is None and cfg.loader_cache_mb > 0:
             # Python-executor analog of the C++ frame cache (shared across
             # the decode pool; batches stay bit-identical — tests pin this).
@@ -311,11 +316,12 @@ class BatchLoader:
                         self.dataset.plan_sequence(i, np.random.RandomState(s))
                         for i, s in zip(idxs, seeds)
                     ]
-                    batch = self._native.load(plans)
+                    batch = self._native.load(plans, as_uint8=self.as_uint8)
                 else:
                     futures = [
                         pool.submit(
-                            self.dataset.load_sequence, i, np.random.RandomState(s)
+                            self.dataset.load_sequence, i,
+                            np.random.RandomState(s), self.as_uint8
                         )
                         for i, s in zip(idxs, seeds)
                     ]
@@ -336,7 +342,8 @@ class BatchLoader:
         return self
 
     def next_batch(self) -> np.ndarray:
-        """(B, rnn_n, tar, tar, 3) float32 in [0, 1]."""
+        """(B, rnn_n, tar, tar, 3) — float32 in [0, 1], or raw uint8 when
+        ``config.train_upload_uint8`` (the train step normalizes on device)."""
         if self._thread is None:
             self.start()
         return self._queue.get()

@@ -70,6 +70,13 @@ def load_library() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ]
+        lib.td_load_batch_u8.restype = ctypes.c_int
+        lib.td_load_batch_u8.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.td_decode_frames.restype = ctypes.c_int
         lib.td_decode_frames.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
@@ -227,8 +234,9 @@ class NativeExecutor:
         self.rnn_n = rnn_n
         self.tar = tar
 
-    def load(self, plans: Sequence) -> np.ndarray:
-        """-> (len(plans), rnn_n, tar, tar, 3) float32 [0,1]."""
+    def load(self, plans: Sequence, as_uint8: bool = False) -> np.ndarray:
+        """-> (len(plans), rnn_n, tar, tar, 3) float32 [0,1], or raw uint8
+        with ``as_uint8`` (cheap-upload path; device-side /255)."""
         n = len(plans)
         rnn_n, tar = self.rnn_n, self.tar
         paths = (ctypes.c_char_p * (n * rnn_n))()
@@ -246,15 +254,26 @@ class NativeExecutor:
             oy[s * rnn_n : (s + 1) * rnn_n] = plan.oy
             ox[s * rnn_n : (s + 1) * rnn_n] = plan.ox
             flip[s] = int(plan.flip)
-        out = np.empty((n, rnn_n, tar, tar, 3), np.float32)
-        rc = self._lib.td_load_batch(
-            self._handle, paths,
-            oy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            ox.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            flip.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            n, rnn_n, tar,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        if as_uint8:
+            out = np.empty((n, rnn_n, tar, tar, 3), np.uint8)
+            rc = self._lib.td_load_batch_u8(
+                self._handle, paths,
+                oy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ox.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                flip.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n, rnn_n, tar,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+        else:
+            out = np.empty((n, rnn_n, tar, tar, 3), np.float32)
+            rc = self._lib.td_load_batch(
+                self._handle, paths,
+                oy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ox.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                flip.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n, rnn_n, tar,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
         if rc != 0:
             raise IOError(f"native batch load failed for {rc} sequence(s)")
         return out

@@ -102,6 +102,11 @@ def prepare_batch(
       r_targets (B, T, 4*crop, 4*crop, 3) in [-1, 1] — center crop minus the
         gaussian margin, preprocessed.
     """
+    if hr_seq.dtype == jnp.uint8:
+        # Cheap-upload batches (config.train_upload_uint8): uint8 crops
+        # normalized here on device. XLA lowers /255 to a reciprocal
+        # multiply — 1 ulp vs the host division it replaces.
+        hr_seq = hr_seq.astype(jnp.float32) / 255.0
     b, t, tar, _, c = hr_seq.shape
     k = config.gauss_border
     hr_flat = hr_seq.reshape(b * t, tar, tar, c)

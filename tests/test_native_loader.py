@@ -104,6 +104,21 @@ def test_frame_cache_bitmatch_and_eviction(cfg):
                     np.testing.assert_array_equal(a, b)
 
 
+def test_uint8_batches_match_float(cfg):
+    """train_upload_uint8 batches are exactly the float batches * 255
+    (same decoded source pixels) for BOTH executors."""
+    for executor in ("python", "native"):
+        with BatchLoader(SceneDataset(cfg.replace(train_upload_uint8=True)),
+                         seed=3, executor=executor) as lu:
+            b_u8 = lu.next_batch()
+        with BatchLoader(SceneDataset(cfg.replace(train_upload_uint8=False)),
+                         seed=3, executor=executor) as lf:
+            b_f = lf.next_batch()
+        assert b_u8.dtype == np.uint8 and b_f.dtype == np.float32
+        np.testing.assert_array_equal(
+            b_u8, np.round(b_f * 255.0).astype(np.uint8))
+
+
 def test_native_executor_moving_first_frame(cfg):
     """Force the movingFirstFrame branch (repeated paths, per-frame crops)."""
     from tecogan_tpu.data.native_loader import NativeExecutor

@@ -42,6 +42,31 @@ def test_prepare_batch_shapes(rng):
     assert float(jnp.min(tar)) >= -1.0 and float(jnp.max(tar)) <= 1.0
 
 
+def test_uint8_batch_matches_float(rng):
+    """The cheap-upload path (uint8 batch, device /255 in prepare_batch)
+    must reproduce the float path to the documented 1-ulp /255 bound."""
+    from tecogan_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(ratio=-0.01)
+    u8 = (rng.rand(2, cfg.rnn_n, cfg.hr_load_size, cfg.hr_load_size, 3)
+          * 255).astype(np.uint8)
+    f32 = jnp.asarray(u8.astype(np.float32) / 255.0)
+
+    lr_a, tar_a = prepare_batch(jnp.asarray(u8), cfg)
+    lr_b, tar_b = prepare_batch(f32, cfg)
+    np.testing.assert_allclose(np.asarray(lr_a), np.asarray(lr_b),
+                               rtol=1e-5, atol=1e-6)
+
+    tr = Trainer(cfg)
+    # train_step donates the state; use a fresh (identical-init) state per call.
+    _, m_u8 = tr.train_step(tr.init_state(jax.random.PRNGKey(0)),
+                            jnp.asarray(u8))
+    _, m_f32 = tr.train_step(tr.init_state(jax.random.PRNGKey(0)), f32)
+    np.testing.assert_allclose(float(m_u8["All_loss_Gen"]),
+                               float(m_f32["All_loss_Gen"]),
+                               rtol=1e-4)
+
+
 def test_frvsr_train_step(rng):
     cfg = tiny_cfg(ratio=-0.01)  # FRVSR: no GAN
     trainer = Trainer(cfg)
