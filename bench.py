@@ -132,9 +132,10 @@ def main() -> None:
 
         from tecogan_tpu.data.native_loader import NativeFrameIO
 
+        io = None
         d = tempfile.mkdtemp()
-        io = NativeFrameIO(8)
         try:
+            io = NativeFrameIO(8)
             lr_paths = [os.path.join(d, f"lr_{i:04d}.png")
                         for i in range(FRAMES + WARMUP)]
             io.encode_frames(lr_paths, frames_u8)
@@ -148,7 +149,8 @@ def main() -> None:
             png_secs = _time.perf_counter() - t0
             host_png_fps = FRAMES / png_secs
         finally:
-            io.close()
+            if io is not None:
+                io.close()
             shutil.rmtree(d, ignore_errors=True)
     except Exception:
         host_png_fps = -1.0

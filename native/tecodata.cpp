@@ -298,6 +298,29 @@ struct Loader {
   FrameCache cache;
 };
 
+// Completion barrier for fanned-out pool work. notify_one runs while the
+// mutex is held: the waiter can only observe the final count after
+// acquiring the mutex — i.e. after the last worker's notify has already
+// returned — so the stack-allocated WaitGroup can never be destroyed with
+// a notify still pending (the unlocked-notify pattern had that race).
+class WaitGroup {
+ public:
+  void done() {
+    std::lock_guard<std::mutex> lk(mu_);
+    ++done_;
+    cv_.notify_one();
+  }
+  void wait(int n) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_.wait(lk, [&] { return done_ == n; });
+  }
+
+ private:
+  std::mutex mu_;
+  std::condition_variable cv_;
+  int done_ = 0;
+};
+
 }  // namespace
 
 extern "C" {
@@ -307,6 +330,7 @@ void* td_open(int num_threads) { return new Loader(num_threads, 0); }
 // Like td_open, with an LRU decoded-frame cache of ``cache_mb`` MB shared
 // by the pool (0 = off) — the loadHR_batch decode-amortization analog.
 void* td_open_cached(int num_threads, int cache_mb) {
+  if (cache_mb < 0) cache_mb = 0;  // negative would wrap to ~2^64: unbounded
   return new Loader(num_threads, static_cast<size_t>(cache_mb) << 20);
 }
 
@@ -363,9 +387,7 @@ static int load_batch_impl(void* handle, const char* const* paths,
                            int tar, float* out, uint8_t* out_u8) {
   Loader* loader = static_cast<Loader*>(handle);
   std::atomic<int> err{0};
-  std::atomic<int> done{0};
-  std::mutex mu;
-  std::condition_variable cv;
+  WaitGroup wg;
   for (int s = 0; s < n_seq; ++s) {
     SeqTask t;
     t.paths = paths + static_cast<size_t>(s) * rnn_n;
@@ -378,17 +400,12 @@ static int load_batch_impl(void* handle, const char* const* paths,
     t.out = out ? out + off : nullptr;
     t.out_u8 = out_u8 ? out_u8 + off : nullptr;
     t.err = &err;
-    loader->pool.submit([t, loader, &done, &cv, &mu] {
+    loader->pool.submit([t, loader, &wg] {
       run_sequence(t, loader->cache);
-      {
-        std::lock_guard<std::mutex> lk(mu);
-        done.fetch_add(1);
-      }
-      cv.notify_one();
+      wg.done();
     });
   }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n_seq; });
+  wg.wait(n_seq);
   return err.load();
 }
 
@@ -410,6 +427,41 @@ int td_load_batch_u8(void* handle, const char* const* paths,
                          nullptr, out);
 }
 
+// Shared fanout for td_decode_frames / td_decode_frames_u8 (exactly one
+// of out / out_u8 is non-null).
+static int decode_frames_impl(void* handle, const char* const* paths, int n,
+                              int* h, int* w, float* out, uint8_t* out_u8,
+                              int64_t cap) {
+  if (n <= 0) return 0;
+  if (td_png_dims(paths[0], h, w) != 0) return -1;
+  const int64_t per = static_cast<int64_t>(*h) * *w * 3;
+  if (per * n > cap) return -1;
+  Loader* loader = static_cast<Loader*>(handle);
+  std::atomic<int> err{0};
+  WaitGroup wg;
+  const int hh = *h, ww = *w;
+  for (int i = 0; i < n; ++i) {
+    const char* path = paths[i];
+    float* dst = out ? out + per * i : nullptr;
+    uint8_t* dst_u8 = out_u8 ? out_u8 + per * i : nullptr;
+    loader->pool.submit([path, dst, dst_u8, hh, ww, &err, &wg] {
+      Image img = decode_png_rgb(path);
+      if (!img.ok() || img.h != hh || img.w != ww) {
+        err.fetch_add(1);
+      } else if (dst_u8 != nullptr) {
+        std::memcpy(dst_u8, img.rgb.data(),
+                    static_cast<size_t>(hh) * ww * 3);
+      } else {
+        const size_t m = static_cast<size_t>(hh) * ww * 3;
+        for (size_t j = 0; j < m; ++j) dst[j] = img.rgb[j] / 255.0f;
+      }
+      wg.done();
+    });
+  }
+  wg.wait(n);
+  return err.load();
+}
+
 // Decode n same-geometry PNG frames in parallel into a contiguous
 // (n, h, w, 3) float32 [0, 1] buffer (streaming-inference input,
 // reference dataloader.py:11-50). h/w are taken from the first frame's
@@ -418,75 +470,15 @@ int td_load_batch_u8(void* handle, const char* const* paths,
 // or -1 when the header read / capacity check fails.
 int td_decode_frames(void* handle, const char* const* paths, int n, int* h,
                      int* w, float* out, int64_t cap) {
-  if (n <= 0) return 0;
-  if (td_png_dims(paths[0], h, w) != 0) return -1;
-  const int64_t per = static_cast<int64_t>(*h) * *w * 3;
-  if (per * n > cap) return -1;
-  Loader* loader = static_cast<Loader*>(handle);
-  std::atomic<int> err{0};
-  std::atomic<int> done{0};
-  std::mutex mu;
-  std::condition_variable cv;
-  const int hh = *h, ww = *w;
-  for (int i = 0; i < n; ++i) {
-    const char* path = paths[i];
-    float* dst = out + per * i;
-    loader->pool.submit([path, dst, hh, ww, &err, &done, &cv, &mu] {
-      Image img = decode_png_rgb(path);
-      if (!img.ok() || img.h != hh || img.w != ww) {
-        err.fetch_add(1);
-      } else {
-        const size_t m = static_cast<size_t>(hh) * ww * 3;
-        for (size_t j = 0; j < m; ++j) dst[j] = img.rgb[j] / 255.0f;
-      }
-      {
-        std::lock_guard<std::mutex> lk(mu);
-        done.fetch_add(1);
-      }
-      cv.notify_one();
-    });
-  }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n; });
-  return err.load();
+  return decode_frames_impl(handle, paths, n, h, w, out, nullptr, cap);
 }
 
 // Same as td_decode_frames but writes raw uint8 RGB — the cheap-upload
 // path (device-side /255) needs no float conversion, and the uint8 buffer
-// is 4x smaller. Returns failed-frame count, -1 on header/capacity error.
+// is 4x smaller.
 int td_decode_frames_u8(void* handle, const char* const* paths, int n, int* h,
                         int* w, uint8_t* out, int64_t cap) {
-  if (n <= 0) return 0;
-  if (td_png_dims(paths[0], h, w) != 0) return -1;
-  const int64_t per = static_cast<int64_t>(*h) * *w * 3;
-  if (per * n > cap) return -1;
-  Loader* loader = static_cast<Loader*>(handle);
-  std::atomic<int> err{0};
-  std::atomic<int> done{0};
-  std::mutex mu;
-  std::condition_variable cv;
-  const int hh = *h, ww = *w;
-  for (int i = 0; i < n; ++i) {
-    const char* path = paths[i];
-    uint8_t* dst = out + per * i;
-    loader->pool.submit([path, dst, hh, ww, &err, &done, &cv, &mu] {
-      Image img = decode_png_rgb(path);
-      if (!img.ok() || img.h != hh || img.w != ww) {
-        err.fetch_add(1);
-      } else {
-        std::memcpy(dst, img.rgb.data(),
-                    static_cast<size_t>(hh) * ww * 3);
-      }
-      {
-        std::lock_guard<std::mutex> lk(mu);
-        done.fetch_add(1);
-      }
-      cv.notify_one();
-    });
-  }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n; });
-  return err.load();
+  return decode_frames_impl(handle, paths, n, h, w, nullptr, out, cap);
 }
 
 // Encode n uint8 RGB frames ((n, h, w, 3) contiguous) to PNG files in
@@ -496,24 +488,17 @@ int td_encode_frames(void* handle, const char* const* paths,
                      const uint8_t* rgb, int n, int h, int w) {
   Loader* loader = static_cast<Loader*>(handle);
   std::atomic<int> err{0};
-  std::atomic<int> done{0};
-  std::mutex mu;
-  std::condition_variable cv;
+  WaitGroup wg;
   const size_t per = static_cast<size_t>(h) * w * 3;
   for (int i = 0; i < n; ++i) {
     const char* path = paths[i];
     const uint8_t* src = rgb + per * i;
-    loader->pool.submit([path, src, h, w, &err, &done, &cv, &mu] {
+    loader->pool.submit([path, src, h, w, &err, &wg] {
       if (!encode_png_rgb(path, src, h, w)) err.fetch_add(1);
-      {
-        std::lock_guard<std::mutex> lk(mu);
-        done.fetch_add(1);
-      }
-      cv.notify_one();
+      wg.done();
     });
   }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n; });
+  wg.wait(n);
   return err.load();
 }
 

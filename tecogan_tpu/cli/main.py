@@ -182,9 +182,8 @@ def run_inference(args, config) -> None:
 
         sr = PipelinedStreamingSR(config, gen_params, fnet_params,
                                   output="uint8")
+        # as_uint8=False above: every load path returns float32 here.
         inputs = data.inputs
-        if inputs.dtype == np.uint8:  # only on the HR->LR gauss path
-            inputs = inputs.astype(np.float32) / 255.0
         hr, secs = sr.run(inputs, warmup=WARMUP_FRAMES)
         n = inputs.shape[0]
         print(f"total time {secs:.2f}, frame number {n}")  # main.py:270 format

@@ -95,9 +95,9 @@ def case1(root: str, scenes, extra) -> int:
             cmd += ["--allow_random_weights"]
         cmd += extra
         rc = subprocess.call(cmd)
-        if rc != 0:
+        if rc != 0:  # negative rc = killed by signal — still a failure
             print(f"case1: inference subprocess for {scene} exited rc={rc}")
-        rc_max = max(rc_max, rc)
+            rc_max = max(rc_max, abs(rc))
     return rc_max
 
 

@@ -31,18 +31,16 @@ class InferenceData(NamedTuple):
 
 
 def _native_io(num_threads: int = 8):
-    import subprocess
-
     try:
-        from tecogan_tpu.data.native_loader import NativeFrameIO
-
-        return NativeFrameIO(num_threads)
-    except (ImportError, OSError, subprocess.CalledProcessError) as exc:
-        # CalledProcessError: the on-demand g++ build failed (e.g. libpng-dev
-        # missing) — same fallback set as data/loader.py executor="auto".
-        detail = exc.stderr.decode(errors="replace").strip() if isinstance(
-            exc, subprocess.CalledProcessError) and exc.stderr else exc
-        print(f"inference IO: native decoder unavailable ({detail}); using cv2")
+        from tecogan_tpu.data import native_loader as nl
+    except ImportError as exc:
+        print(f"inference IO: native decoder unavailable ({exc}); using cv2")
+        return None
+    try:
+        return nl.NativeFrameIO(num_threads)
+    except nl.UNAVAILABLE_ERRORS as exc:
+        print("inference IO: native decoder unavailable "
+              f"({nl.unavailable_detail(exc)}); using cv2")
         return None
 
 

@@ -67,7 +67,7 @@ class _FrameLRU:
     def __init__(self, budget_mb: int):
         from collections import OrderedDict
 
-        self.budget = budget_mb << 20
+        self.budget = max(0, budget_mb) << 20
         self.used = 0
         self._map: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._lock = threading.Lock()
@@ -263,7 +263,10 @@ class BatchLoader:
             # Only build/load failures fall back (missing g++/libpng etc.);
             # a genuine bug in the native path must not silently degrade to
             # the ~2x-slower python executor.
-            import subprocess as _sp
+            from tecogan_tpu.data.native_loader import (
+                UNAVAILABLE_ERRORS,
+                unavailable_detail,
+            )
 
             try:
                 from tecogan_tpu.data.native_loader import NativeExecutor
@@ -274,14 +277,13 @@ class BatchLoader:
                     tar=cfg.hr_load_size,
                     cache_mb=cfg.loader_cache_mb,
                 )
-            except (ImportError, OSError, _sp.CalledProcessError) as exc:
+            except UNAVAILABLE_ERRORS as exc:
                 if executor == "native":
                     raise
-                detail = exc.stderr.decode(errors="replace").strip() if isinstance(
-                    exc, _sp.CalledProcessError) and exc.stderr else exc
                 print("BatchLoader: native decoder unavailable "
-                      f"({type(exc).__name__}: {detail}); using the python "
-                      "executor (slower; see tools/bench_loader.py)")
+                      f"({type(exc).__name__}: {unavailable_detail(exc)}); "
+                      "using the python executor (slower; see "
+                      "tools/bench_loader.py)")
         # Emit raw uint8 batches (4x less host->device / DCN traffic; the
         # train step normalizes on device, trainer.py:prepare_batch).
         self.as_uint8 = bool(cfg.train_upload_uint8)

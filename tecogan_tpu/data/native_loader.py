@@ -99,6 +99,19 @@ def load_library() -> ctypes.CDLL:
     return _LIB
 
 
+#: Exceptions that mean "the native library can't be built/loaded here"
+#: (fallback-to-python set; anything else is a real bug and must raise).
+UNAVAILABLE_ERRORS = (ImportError, OSError, subprocess.CalledProcessError)
+
+
+def unavailable_detail(exc: BaseException):
+    """Human-readable cause for an UNAVAILABLE_ERRORS failure (g++ stderr
+    for build failures, the exception itself otherwise)."""
+    if isinstance(exc, subprocess.CalledProcessError) and exc.stderr:
+        return exc.stderr.decode(errors="replace").strip()
+    return exc
+
+
 def native_available() -> bool:
     try:
         load_library()
@@ -230,7 +243,7 @@ class NativeExecutor:
                  cache_mb: int = 0):
         self._lib = load_library()
         self._handle = ctypes.c_void_p(
-            self._lib.td_open_cached(num_threads, int(cache_mb)))
+            self._lib.td_open_cached(num_threads, max(0, int(cache_mb))))
         self.rnn_n = rnn_n
         self.tar = tar
 

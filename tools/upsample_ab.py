@@ -3,7 +3,10 @@ banded matmul, kernels/upsample4.py) in the real streaming step, plus an
 output parity check. Isolated kernel benches mislead (CLAUDE.md) — this is
 the decision measurement for ``TecoConfig.pallas_flow_upsample``.
 
-Usage: python tools/upsample_ab.py [H W chunk]   (defaults 540 960 24)
+Usage: python tools/upsample_ab.py [H W chunk]   (defaults 144 180 23 —
+the measured-working geometry; at 540x960 the kernel's whole-plane blocks
+exceed the 16 MB scoped VMEM limit and mode "on" fails to compile, see
+BASELINE.md)
 """
 
 from __future__ import annotations
@@ -25,9 +28,9 @@ from tecogan_tpu.recurrent.inference import StreamingSR
 
 
 def main() -> None:
-    h = int(sys.argv[1]) if len(sys.argv) > 1 else 540
-    w = int(sys.argv[2]) if len(sys.argv) > 2 else 960
-    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+    h = int(sys.argv[1]) if len(sys.argv) > 1 else 144
+    w = int(sys.argv[2]) if len(sys.argv) > 2 else 180
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 23
 
     base = TecoConfig(num_resblock=16, compute_dtype="bfloat16",
                       infer_chunk=chunk)
