@@ -32,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pre_trained_dir", default=None,
                    help="warm-start weights from a previous run's checkpoints")
     p.add_argument("--allow_random_weights", action="store_true",
-                   help="inference smoke mode without pretrained weights")
+                   help="smoke mode without pretrained weights (random "
+                        "G/F for inference; random VGG19 for training "
+                        "when --vgg_npz is absent)")
     # inference
     p.add_argument("--input_dir_LR", default=None)
     p.add_argument("--input_dir_HR", default=None)
@@ -220,11 +222,23 @@ def run_train(args, config) -> None:
 
     vgg_params = None
     if config.vgg_scaling > 0:
-        if not args.vgg_npz:
-            raise SystemExit("--vgg_npz required when vgg_scaling > 0")
-        from tecogan_tpu.models.vgg19 import load_vgg19_npz
+        if args.vgg_npz:
+            from tecogan_tpu.models.vgg19 import load_vgg19_npz
 
-        vgg_params = load_vgg19_npz(args.vgg_npz)
+            vgg_params = load_vgg19_npz(args.vgg_npz)
+        elif args.allow_random_weights:
+            # Full case-3 step shape without the (non-distributable)
+            # vgg_19.ckpt: FLOPs and pipeline are weight-independent, the
+            # perceptual term just isn't a trained perceptual metric.
+            from tecogan_tpu.models.vgg19 import random_vgg19_params
+
+            print("WARNING: random VGG19 weights (smoke mode — the "
+                  "perceptual term is untrained; pass --vgg_npz for the "
+                  "reference vgg_19.ckpt conversion)")
+            vgg_params = random_vgg19_params(seed=config.rand_seed)
+        else:
+            raise SystemExit("--vgg_npz (or --allow_random_weights) "
+                             "required when vgg_scaling > 0")
     train(
         config,
         output_dir=args.output_dir,

@@ -99,6 +99,34 @@ def test_train_driver_end_to_end(scene_root, tmp_path):
     assert int(np.asarray(state.step)) == 7
 
 
+def test_run_train_vgg_weight_resolution(monkeypatch, tmp_path):
+    """vgg_scaling > 0: --vgg_npz loads, --allow_random_weights substitutes
+    random VGG19 params (full case-3 shape, weight-independent FLOPs),
+    neither -> actionable SystemExit."""
+    import tecogan_tpu.train.loop as loop_mod
+    from tecogan_tpu.cli.main import config_from_args, run_train
+
+    captured = {}
+
+    def fake_train(config, output_dir, **kw):
+        captured["vgg_params"] = kw.get("vgg_params")
+        return None
+
+    monkeypatch.setattr(loop_mod, "train", fake_train)
+
+    base = ["--mode", "train", "--preset", "tecogan",
+            "--output_dir", str(tmp_path / "o"),
+            "--input_video_dir", str(tmp_path)]
+    args = build_parser().parse_args(base)
+    with pytest.raises(SystemExit, match="vgg_npz"):
+        run_train(args, config_from_args(args))
+
+    args = build_parser().parse_args(base + ["--allow_random_weights"])
+    run_train(args, config_from_args(args))
+    assert captured["vgg_params"] is not None
+    assert "conv1_1" in captured["vgg_params"]
+
+
 def test_warm_start_from_checkpoint(scene_root, tmp_path):
     """A TecoGAN-mode state warm-starts G/F weights from an FRVSR run."""
     import jax
