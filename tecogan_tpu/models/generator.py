@@ -69,18 +69,27 @@ class Generator(nn.Module):
         return preprocess(net)
 
 
-def generator_apply_hr_input(params, lr, warped_hr, num_resblock: int = 16):
+def generator_apply_hr_input(params, lr, warped_hr, num_resblock: int = 16,
+                             s2d_mode: str = "stride4"):
     """Generator forward consuming the RAW warped HR frame — the
-    space-to-depth pack is folded into the input stage as a stride-4 conv.
+    space-to-depth pack is folded into the input stage.
 
-    Identity: ``conv3x3(concat(lr, s2d(warped, 4)))`` equals
+    ``s2d_mode="stride4"``: ``conv3x3(concat(lr, s2d(warped, 4)))`` equals
     ``conv3x3(lr-part) + conv12x12_stride4(warped)`` with the HR kernel
     built by scattering the 48 s2d input channels back to their HR offsets:
     ``k_hr[4*dy+r, 4*dx+s, c] = k[dy, dx, 3 + (r*4+s)*3 + c]`` (TF s2d
     channel order, reference main.py:201). This skips materializing the
     (B, H, W, 48) packed tensor and its lane-interleave transpose —
-    measured ~4.7 ms/frame at 2160p (tools/trace_2160p.py). Inference-only
-    path; takes the SAME param tree as :class:`Generator`.
+    measured ~4.7 ms/frame at 2160p (tools/trace_2160p.py).
+
+    ``s2d_mode="patchify"``: the space-to-depth itself becomes a VALID
+    4x4-stride-4 conv with a 0/1 selection kernel — the relayout runs
+    through the MXU's native im2col instead of VPU lane-interleave
+    transposes — followed by the module's own 3x3 51->64 conv (identical
+    accumulation to the flax path; the patchify conv is exact: one 1.0 tap
+    per output channel in an f32 accumulator).
+
+    Inference-only path; takes the SAME param tree as :class:`Generator`.
 
     Args:
       lr: (B, h, w, 3) LR frame in [0, 1].
@@ -90,6 +99,23 @@ def generator_apply_hr_input(params, lr, warped_hr, num_resblock: int = 16):
     dtype = lr.dtype
     k = p["input_stage_conv"]["kernel"].astype(dtype)  # (3, 3, 51, 64)
     b = p["input_stage_conv"]["bias"].astype(dtype)
+    if s2d_mode == "patchify":
+        import numpy as np
+        sel = np.zeros((4, 4, 3, 48), np.float32)
+        for r in range(4):
+            for s in range(4):
+                for c in range(3):
+                    sel[r, s, c, (r * 4 + s) * 3 + c] = 1.0
+        with jax.named_scope("patchify_s2d_conv"):
+            z = jax.lax.conv_general_dilated(
+                warped_hr, jnp.asarray(sel, dtype), (4, 4), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        with jax.named_scope("input_stage_conv"):
+            net = jax.lax.conv_general_dilated(
+                jnp.concatenate([lr, z], axis=-1), k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        net = jax.nn.relu(net + b)
+        return _generator_tail(p, net, lr, num_resblock)
     k_lr = k[:, :, :3, :]
     # (3, 3, 48, C) -> (3, 4, 4, 3, C) [dy, r, s, rgb] -> (12, 12, 3, C).
     k_hr = k[:, :, 3:, :].reshape(3, 3, 4, 4, 3, k.shape[-1])
@@ -136,21 +162,10 @@ def _generator_tail(p, net, lr, num_resblock):
     net = jax.nn.relu(conv_tran("conv_tran1", net))
     net = jax.nn.relu(conv_tran("conv_tran2", net))
 
-    from tecogan_tpu.models.layers import _FOLD_THRESHOLD_PIXELS, _fold_group
-    bsz, hh, ww, _ = net.shape
-    g = _fold_group(ww)
-    if hh * ww > _FOLD_THRESHOLD_PIXELS and g:
-        k = p["output_stage_conv"]["kernel"].astype(dtype)
-        kw = jnp.zeros((3, g + 2, k.shape[2], g * 3), dtype)
-        for j in range(g):
-            kw = kw.at[:, j:j + 3, :, j * 3:(j + 1) * 3].set(k)
-        out = jax.lax.conv_general_dilated(
-            net, kw, (1, g), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        net = out.reshape(bsz, hh, ww, 3) + \
-            p["output_stage_conv"]["bias"].astype(dtype)
-    else:
-        net = conv("output_stage_conv", net)
+    from tecogan_tpu.models.layers import apply_output_conv
+    net = apply_output_conv(net,
+                            p["output_stage_conv"]["kernel"].astype(dtype),
+                            p["output_stage_conv"]["bias"].astype(dtype))
     net = net + bicubic_four(lr)
     return preprocess(net)
 
@@ -201,21 +216,10 @@ def generator_apply_fused(params, x, num_resblock: int = 16):
 
     net = jax.nn.relu(conv_tran("conv_tran1", net))
     net = jax.nn.relu(conv_tran("conv_tran2", net))
-    # Same column-folded narrow-output conv as the flax module.
-    from tecogan_tpu.models.layers import _FOLD_THRESHOLD_PIXELS, _fold_group
-    bsz, hh, ww, _ = net.shape
-    g = _fold_group(ww)
-    if hh * ww > _FOLD_THRESHOLD_PIXELS and g:
-        k = p["output_stage_conv"]["kernel"].astype(net.dtype)
-        kw = jnp.zeros((3, g + 2, k.shape[2], g * 3), net.dtype)
-        for j in range(g):
-            kw = kw.at[:, j:j + 3, :, j * 3:(j + 1) * 3].set(k)
-        out = jax.lax.conv_general_dilated(
-            net, kw, (1, g), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        net = out.reshape(bsz, hh, ww, 3) + \
-            p["output_stage_conv"]["bias"].astype(net.dtype)
-    else:
-        net = conv("output_stage_conv", net)
+    # Same narrow-output conv strategy as the flax module.
+    from tecogan_tpu.models.layers import apply_output_conv
+    net = apply_output_conv(
+        net, p["output_stage_conv"]["kernel"].astype(net.dtype),
+        p["output_stage_conv"]["bias"].astype(net.dtype))
     net = net + bicubic_four(lr)
     return preprocess(net)

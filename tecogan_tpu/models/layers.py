@@ -62,23 +62,68 @@ def _fold_group(w: int) -> int:
     return 0
 
 
-class NarrowOutputConv(nn.Module):
-    """SAME 3x3 conv with few output channels (e.g. the generator's 64->3
-    output stage) that folds ``group`` adjacent output COLUMNS into channels
-    on large frames.
+#: Narrow-output conv strategy below the fold threshold:
+#: "direct" = plain SAME conv (N=3 starves the MXU lanes: ~2.2 TF/s),
+#: "tappack" = 1x1 conv to 9*features tap channels (one K=in_f, N=27
+#: matmul) + 9 shifted adds. A/B'd in-scan via tools/headline_ablate.py.
+_OUTCONV_SMALL_MODE = "direct"
 
-    A 3-channel conv uses 3/128 MXU output lanes — measured ~2.3 TF/s at
-    2160p (tools/trace_2160p.py), the single slowest op of the streaming
-    step. The folded form is a stride-(1, group) conv with a 3x(group+2)
-    kernel whose blocks are shifted copies of the 3x3 kernel: every output
-    pixel still sees exactly its own 3x3xC window (identical taps; bit-equal
-    on TPU at group=8, within 1 bf16 ulp at wider groups where the im2col
-    accumulation order differs — tools/gen_ablate.py), then a free reshape
+
+def apply_output_conv(x, k, b):
+    """SAME 3x3 conv with few output channels (the generator's 64->3 output
+    stage): the N=features conv uses features/128 MXU output lanes —
+    measured ~2.3 TF/s at 2160p (tools/trace_2160p.py), the single slowest
+    op of the streaming step. Shared by :class:`NarrowOutputConv` and the
+    pytree fast-path applies (models/generator.py).
+
+    Large frames (> ``_FOLD_THRESHOLD_PIXELS``): column-folded form — a
+    stride-(1, group) conv with a 3x(group+2) kernel whose blocks are
+    shifted copies of the 3x3 kernel: every output pixel still sees exactly
+    its own 3x3xC window (identical taps; bit-equal on TPU at group=8,
+    within 1 bf16 ulp at wider groups where the im2col accumulation order
+    differs — tools/gen_ablate.py), then a free reshape
     (W/group, 3*group) -> (W, 3). Saves ~6.7 ms/frame at 2160p.
 
-    Param layout matches ``nn.Conv`` (kernel (3,3,in,out), bias (out,)) so
-    checkpoints are unaffected. Replaces reference lib/ops.py:47-56's slim
-    conv at the generator output (frvsr.py:83).
+    Small frames: ``_OUTCONV_SMALL_MODE`` picks plain conv or the
+    tap-packed form (1 bf16-ulp-level accumulation-order difference: taps
+    sum outside the conv's f32 accumulator).
+    """
+    bsz, h, w, in_f = x.shape
+    features = k.shape[-1]
+    g = _fold_group(w)
+    if h * w > _FOLD_THRESHOLD_PIXELS and g:
+        kw = jnp.zeros((3, g + 2, in_f, g * features), k.dtype)
+        for j in range(g):
+            kw = kw.at[:, j:j + 3, :, j * features:(j + 1) * features].set(k)
+        out = lax.conv_general_dilated(
+            x, kw, (1, g), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out.reshape(bsz, h, w, features) + b
+    if _OUTCONV_SMALL_MODE == "tappack":
+        # One K=in_f, N=9*features matmul (1x1 conv), then each tap's
+        # plane shifted into place: out[y,x] = sum_t Y_t[y+dy-1, x+dx-1].
+        kt = k.transpose(2, 0, 1, 3).reshape(1, 1, in_f, 9 * features)
+        y = lax.conv_general_dilated(
+            x, kt, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = b.astype(y.dtype)
+        for t in range(9):
+            dy, dx = divmod(t, 3)
+            out = out + lax.dynamic_slice(
+                yp, (0, dy, dx, t * features),
+                (bsz, h, w, features))
+        return out
+    out = lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + b
+
+
+class NarrowOutputConv(nn.Module):
+    """Flax wrapper over :func:`apply_output_conv`. Param layout matches
+    ``nn.Conv`` (kernel (3,3,in,out), bias (out,)) so checkpoints are
+    unaffected. Replaces reference lib/ops.py:47-56's slim conv at the
+    generator output (frvsr.py:83).
     """
 
     features: int
@@ -94,20 +139,7 @@ class NarrowOutputConv(nn.Module):
                        (self.features,), self.param_dtype)
         from flax.linen.dtypes import promote_dtype
         x, k, b = promote_dtype(x, k, b, dtype=self.dtype)
-        bsz, h, w, _ = x.shape
-        g = _fold_group(w)
-        if h * w > _FOLD_THRESHOLD_PIXELS and g:
-            kw = jnp.zeros((3, g + 2, in_f, g * self.features), k.dtype)
-            for j in range(g):
-                kw = kw.at[:, j:j + 3, :, j * self.features:
-                           (j + 1) * self.features].set(k)
-            out = lax.conv_general_dilated(
-                x, kw, (1, g), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return out.reshape(bsz, h, w, self.features) + b
-        out = lax.conv_general_dilated(
-            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return out + b
+        return apply_output_conv(x, k, b)
 
 
 def conv2_tran(

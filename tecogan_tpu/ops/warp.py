@@ -234,7 +234,6 @@ def dense_image_warp(
             return out.reshape((b,) + out.shape[2:])
 
     iy, ix, ay, ax = _corner_coords(image.shape, flow, dtype)
-    packed = _tap_pack(image)
 
     halo = int(max_displacement) + 1 if max_displacement is not None else 0
     if max_displacement is not None and h * w > _BLOCK_THRESHOLD_PIXELS:
@@ -247,14 +246,35 @@ def dense_image_warp(
         and w > 2 * halo + col_block
     )
     if not use_blocks:
+        # Flat-layout form: tap-pack, gather, and lerp all operate on the
+        # row-major (B, H*W, C) view so XLA never relays anything out —
+        # the 2D pack/reshape form cost 0.37 ms/frame of pure layout
+        # copies around the gather at 576x720 (trace_step.py stream).
+        # Rolls along the flat axis wrap across row/frame edges; those
+        # positions are never addressed (corner indices clamp to size-2).
+        flat_img = image.reshape(b, h * w, c)
+        flat = jnp.concatenate(
+            [flat_img,
+             jnp.roll(flat_img, -1, axis=1),
+             jnp.roll(flat_img, -w, axis=1),
+             jnp.roll(flat_img, -(w + 1), axis=1)], axis=-1)
         base = (iy * w + ix).reshape(b, h * w, 1)
-        flat = packed.reshape(b, h * w, 4 * c)
         if (_SORTED_BWD_MIN_INDICES is not None
                 and b * h * w >= _SORTED_BWD_MIN_INDICES):
             g = _gather_rows(flat, base)  # sort-based adjoint (study only)
         else:
             g = jnp.take_along_axis(flat, base, axis=1)
-        return epilogue(_lerp(g.reshape(b, h, w, 4, c), ay, ax))
+        # Identical arithmetic to _lerp (same ops/order/dtypes), sliced on
+        # the minor axis of the gather result instead of a 5D reshape.
+        tl, tr = g[..., :c], g[..., c:2 * c]
+        bl, br = g[..., 2 * c:3 * c], g[..., 3 * c:]
+        axf = ax.reshape(b, h * w, 1)
+        ayf = ay.reshape(b, h * w, 1)
+        top = tl + (tr - tl) * axf
+        bot = bl + (br - bl) * axf
+        out = (top + (bot - top) * ayf).reshape(b, h, w, c)
+        return epilogue(out)
+    packed = _tap_pack(image)
 
     sr, sc = row_block + 2 * halo, col_block + 2 * halo
     nr, nc = h // row_block, w // col_block

@@ -82,7 +82,7 @@ def fold_s2d_active(config: TecoConfig, h: int, w: int) -> bool:
     (measured bands above; models/generator.py:generator_apply_hr_input)."""
     if config.gen_channels != 64 or config.fold_input_s2d == "off":
         return False
-    if config.fold_input_s2d == "on":
+    if config.fold_input_s2d in ("on", "patchify"):
         return True
     hr_px = 16 * h * w
     return _FOLD_S2D_MIN_HR_PIXELS < hr_px <= _FOLD_S2D_MAX_HR_PIXELS
@@ -173,6 +173,8 @@ class StreamingSR:
 
         up_pallas = (self.config.pallas_flow_upsample == "on"
                      and spatial_mesh is None)
+        s2d_mode = ("patchify" if self.config.fold_input_s2d == "patchify"
+                    else "stride4")
         flow_mode = self.config.inline_flow
 
         def use_inline_flow(h, w):
@@ -242,7 +244,8 @@ class StreamingSR:
                     warped = dense_image_warp(st.prev_hr, flow,
                                               max_displacement=max_disp)
                     gen_out = generator_apply_hr_input(
-                        gen_params, lr, warped, num_resblock=num_rb)
+                        gen_params, lr, warped, num_resblock=num_rb,
+                        s2d_mode=s2d_mode)
                 else:
                     if inline:
                         packed = warp_space_to_depth_flowlr(

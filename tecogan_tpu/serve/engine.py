@@ -79,7 +79,9 @@ def build_frame_fn(config: TecoConfig, gen_apply, fnet_apply,
             warped = dense_image_warp(state.prev_hr, flow_hr,
                                       max_displacement=max_disp)
             gen_out = generator_apply_hr_input(
-                gen_params, lr, warped, num_resblock=num_rb)
+                gen_params, lr, warped, num_resblock=num_rb,
+                s2d_mode=("patchify" if config.fold_input_s2d == "patchify"
+                          else "stride4"))
         else:
             packed = warp_space_to_depth(state.prev_hr, flow_hr, 4,
                                          max_displacement=max_disp)

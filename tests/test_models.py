@@ -174,6 +174,53 @@ def test_generator_apply_hr_input_matches_flax(rng):
     got = generator_apply_hr_input(p, lr, warped, num_resblock=3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+    # patchify mode: the s2d runs as a 0/1-selection conv — exact, so the
+    # whole forward is bit-identical to the flax module.
+    got_p = generator_apply_hr_input(p, lr, warped, num_resblock=3,
+                                     s2d_mode="patchify")
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want))
+
+
+def test_tappack_output_conv_matches_direct(rng):
+    """The tap-packed narrow-output conv (one K=in,N=9*out matmul + 9
+    shifted adds) == the plain SAME conv up to f32 reassociation."""
+    import jax
+    from tecogan_tpu.models import layers
+
+    x = jnp.asarray(rng.rand(2, 16, 20, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 64, 3).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+    want = layers.apply_output_conv(x, k, b)
+    old = layers._OUTCONV_SMALL_MODE
+    try:
+        layers._OUTCONV_SMALL_MODE = "tappack"
+        got = layers.apply_output_conv(x, k, b)
+    finally:
+        layers._OUTCONV_SMALL_MODE = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_patchify_input_matches_default():
+    """StreamingSR(fold_input_s2d='patchify') == default path."""
+    import jax
+    from tecogan_tpu.config import TecoConfig
+    from tecogan_tpu.models import FNet, Generator
+    from tecogan_tpu.recurrent.inference import StreamingSR
+
+    h, w = 16, 16
+    cfg = TecoConfig(num_resblock=2, compute_dtype="float32", infer_chunk=3)
+    gen = Generator(num_resblock=2, channels=cfg.gen_channels)
+    fnet = FNet(channels=cfg.fnet_channels, up_channels=cfg.fnet_up_channels,
+                max_velocity=cfg.flow_max_velocity)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    gp = gen.init(k1, jnp.zeros((1, h, w, 51)))["params"]
+    fp = fnet.init(k2, jnp.zeros((1, h, w, 6)))["params"]
+    frames = np.random.RandomState(3).rand(5, h, w, 3).astype(np.float32)
+    ref, _ = StreamingSR(cfg, gp, fp).run(frames)
+    got, _ = StreamingSR(cfg.replace(fold_input_s2d="patchify"), gp, fp).run(
+        frames)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_streaming_fold_input_s2d_matches_default():

@@ -9,7 +9,8 @@ stride-4 input conv, carry LR flow in the scan (16x smaller xs slices).
 Isolated benches mislead on this backend (CLAUDE.md) — every variant here
 is the REAL chunk step measured via StreamingSR.device_fps.
 
-Usage: python tools/headline_ablate.py [reps]
+Usage: python tools/headline_ablate.py [reps] [variant ...]
+(variant names filter the sweep; default = all)
 """
 
 from __future__ import annotations
@@ -55,10 +56,22 @@ def main() -> None:
         "inline_flow": dict(inline_flow="on"),
         "fold_out+s2d": dict(fold_thresh=0, fold_input_s2d="on"),
         "fold_out+inline": dict(fold_thresh=0, inline_flow="on"),
+        # Round-3b candidates: tap-packed small-frame output conv
+        # (N=3 conv -> one K=64,N=27 matmul + 9 shifted adds) and the
+        # patchify-conv s2d input stage (s2d on the MXU).
+        "tappack_out": dict(outconv="tappack"),
+        "patchify_in": dict(fold_input_s2d="patchify"),
+        "tappack+patchify": dict(outconv="tappack",
+                                 fold_input_s2d="patchify"),
     }
+    wanted = [a for a in _sys.argv[2:] if a in variants]
+    if wanted:
+        variants = {k: variants[k] for k in wanted}
     results = {}
+    orig_outconv = layers._OUTCONV_SMALL_MODE
     for name, opts in variants.items():
         layers._FOLD_THRESHOLD_PIXELS = opts.pop("fold_thresh", orig_thresh)
+        layers._OUTCONV_SMALL_MODE = opts.pop("outconv", orig_outconv)
         cfg = base_cfg.replace(**opts) if opts else base_cfg
         try:
             sr = StreamingSR(cfg, gp, fp, output="uint8")
@@ -69,6 +82,7 @@ def main() -> None:
         results[name] = round(fps, 1)
         print(f"{name}: {results[name]} fps", flush=True)
     layers._FOLD_THRESHOLD_PIXELS = orig_thresh
+    layers._OUTCONV_SMALL_MODE = orig_outconv
     print(json.dumps(results))
 
 
