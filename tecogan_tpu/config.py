@@ -107,12 +107,16 @@ class TecoConfig:
     #   Measured NEUTRAL on v5e (within noise at both 576x720 and 2160p —
     #   XLA's global coordinate passes are already bandwidth-efficient).
     fold_input_s2d: str = "auto"     # fold the post-warp space-to-depth into
-    #   a stride-4 HR input conv at inference ("off"|"auto"|"on"). "auto" =
-    #   mid-size frames only (HR 100k..2M px): measured +18% on the headline
-    #   576x720 workload (194 -> 228 fps, tools/headline_ablate.py round 3)
-    #   and +7..20% down to 288x360, but NEGATIVE at 2160p (81.0 -> 89.1
-    #   ms/frame: there the 12x12 stride-4 im2col costs more than the s2d it
-    #   removes). See models/generator.py:generator_apply_hr_input.
+    #   the generator's HR input conv at inference
+    #   ("off"|"auto"|"on"|"patchify"). "auto" = stride-4 fold on mid-size
+    #   frames only (HR 100k..2M px): measured +18% on the headline 576x720
+    #   workload (194 -> 228 fps, tools/headline_ablate.py round 3) and
+    #   +7..20% down to 288x360, but NEGATIVE at 2160p (81.0 -> 89.1
+    #   ms/frame: there the 12x12 stride-4 im2col costs more than the s2d
+    #   it removes). "patchify" = force-on with the s2d done as a
+    #   0/1-selection 4x4-stride-4 conv instead (MXU im2col, bit-identical
+    #   to the flax path). See models/generator.py:generator_apply_hr_input
+    #   and recurrent/inference.py:s2d_mode_for.
     train_fold_s2d: bool = False     # fold the recurrent s2d pack into the
     #   stride-4 input conv in the TRAINING unroll too (recurrent/step.py:
     #   unroll_generator fold_input). MEASURED NEGATIVE on v5e (TecoGAN-16
@@ -162,6 +166,21 @@ class TecoConfig:
     @property
     def hr_load_size(self) -> int:
         return self.crop_size * self.upscale + 2 * self.gauss_border
+
+    def __post_init__(self):
+        # Mode-string knobs fail loudly on typos: a silently-unknown value
+        # would fall through every dispatch branch and quietly run the
+        # default strategy instead of the requested experiment.
+        allowed = {
+            "inline_flow": ("off", "auto", "on"),
+            "fold_input_s2d": ("off", "auto", "on", "patchify"),
+            "pallas_flow_upsample": ("off", "on"),
+            "fused_trunk": ("off", "auto", "on"),
+        }
+        for field, values in allowed.items():
+            v = getattr(self, field)
+            if v not in values:
+                raise ValueError(f"{field}={v!r}; expected one of {values}")
 
     def replace(self, **kw) -> "TecoConfig":
         return dataclasses.replace(self, **kw)

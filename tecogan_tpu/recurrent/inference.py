@@ -88,6 +88,13 @@ def fold_s2d_active(config: TecoConfig, h: int, w: int) -> bool:
     return _FOLD_S2D_MIN_HR_PIXELS < hr_px <= _FOLD_S2D_MAX_HR_PIXELS
 
 
+def s2d_mode_for(config: TecoConfig) -> str:
+    """The ``generator_apply_hr_input`` s2d mode a config selects (shared
+    by the streaming and serving engines; only meaningful where
+    :func:`fold_s2d_active` is True)."""
+    return "patchify" if config.fold_input_s2d == "patchify" else "stride4"
+
+
 class StreamingSR:
     """Chunked streaming super-resolver around a jitted scan step.
 
@@ -173,8 +180,7 @@ class StreamingSR:
 
         up_pallas = (self.config.pallas_flow_upsample == "on"
                      and spatial_mesh is None)
-        s2d_mode = ("patchify" if self.config.fold_input_s2d == "patchify"
-                    else "stride4")
+        s2d_mode = s2d_mode_for(self.config)
         flow_mode = self.config.inline_flow
 
         def use_inline_flow(h, w):

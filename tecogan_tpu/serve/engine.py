@@ -42,7 +42,7 @@ from tecogan_tpu.models import FNet, Generator
 from tecogan_tpu.models.generator import generator_apply_hr_input
 from tecogan_tpu.ops import deprocess
 from tecogan_tpu.ops.warp import dense_image_warp, warp_space_to_depth
-from tecogan_tpu.recurrent.inference import fold_s2d_active
+from tecogan_tpu.recurrent.inference import fold_s2d_active, s2d_mode_for
 from tecogan_tpu.recurrent.step import RecurrentState, init_state, upscale_flow
 
 
@@ -80,8 +80,7 @@ def build_frame_fn(config: TecoConfig, gen_apply, fnet_apply,
                                       max_displacement=max_disp)
             gen_out = generator_apply_hr_input(
                 gen_params, lr, warped, num_resblock=num_rb,
-                s2d_mode=("patchify" if config.fold_input_s2d == "patchify"
-                          else "stride4"))
+                s2d_mode=s2d_mode_for(config))
         else:
             packed = warp_space_to_depth(state.prev_hr, flow_hr, 4,
                                          max_displacement=max_disp)

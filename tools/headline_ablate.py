@@ -30,7 +30,11 @@ from tecogan_tpu.models import FNet, Generator
 
 
 def main() -> None:
-    reps = int(_sys.argv[1]) if len(_sys.argv) > 1 else 5
+    argv = _sys.argv[1:]
+    reps = 5
+    if argv and argv[0].isdigit():
+        reps = int(argv[0])
+        argv = argv[1:]
     from tecogan_tpu.models import layers
     from tecogan_tpu.recurrent.inference import StreamingSR
 
@@ -64,9 +68,12 @@ def main() -> None:
         "tappack+patchify": dict(outconv="tappack",
                                  fold_input_s2d="patchify"),
     }
-    wanted = [a for a in _sys.argv[2:] if a in variants]
-    if wanted:
-        variants = {k: variants[k] for k in wanted}
+    unknown = [a for a in argv if a not in variants]
+    if unknown:
+        raise SystemExit(
+            f"unknown variant(s) {unknown}; choose from {list(variants)}")
+    if argv:
+        variants = {k: variants[k] for k in argv}
     results = {}
     orig_outconv = layers._OUTCONV_SMALL_MODE
     for name, opts in variants.items():
