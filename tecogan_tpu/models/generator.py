@@ -132,6 +132,31 @@ def generator_apply_hr_input(params, lr, warped_hr, num_resblock: int = 16,
     return _generator_tail(p, net, lr, num_resblock)
 
 
+#: Upsample-stage strategy for the pytree fast paths: "direct" =
+#: lax.conv_transpose (XLA input-dilation lowering), "phase" = the exact
+#: four-phase decomposition (ops/convtran.py, zero wasted MACs). Isolated
+#: benches showed phase LOSING at 540x960 (112 vs 53 ms — interleave layout
+#: cost), but isolated benches mislead on this backend (CLAUDE.md); A/B'd
+#: in-scan via tools/headline_ablate.py. Training keeps the flax module.
+_CONVTRAN_MODE = "direct"
+
+
+def _apply_conv_tran(p, name, v):
+    """Shared stride-2 transposed conv for the pytree fast paths
+    (flax ConvTranspose(transpose_kernel=True, SAME) param layout)."""
+    k = p[name]["kernel"].astype(v.dtype)
+    b = p[name]["bias"].astype(v.dtype)
+    with jax.named_scope(name):
+        if _CONVTRAN_MODE == "phase":
+            from tecogan_tpu.ops.convtran import conv_transpose_s2_phase
+            return conv_transpose_s2_phase(v, k, b, transpose_kernel=True)
+        out = jax.lax.conv_transpose(
+            v, k, (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True)
+        return out + b
+
+
 def _generator_tail(p, net, lr, num_resblock):
     """Trunk + upsample + output stages on the input-stage activation
     (shared by the fused-input forward paths; matches Generator.apply)."""
@@ -146,13 +171,7 @@ def _generator_tail(p, net, lr, num_resblock):
             return out + p[name]["bias"].astype(v.dtype)
 
     def conv_tran(name, v):
-        with jax.named_scope(name):
-            k = p[name]["kernel"].astype(v.dtype)
-            out = jax.lax.conv_transpose(
-                v, k, (2, 2), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                transpose_kernel=True)
-            return out + p[name]["bias"].astype(v.dtype)
+        return _apply_conv_tran(p, name, v)
 
     for i in range(1, num_resblock + 1):
         skip = net
@@ -195,12 +214,7 @@ def generator_apply_fused(params, x, num_resblock: int = 16):
 
     def conv_tran(name, v):
         # flax ConvTranspose(transpose_kernel=True, SAME): kernel (k,k,out,in).
-        k = p[name]["kernel"].astype(v.dtype)
-        out = jax.lax.conv_transpose(
-            v, k, (2, 2), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            transpose_kernel=True)
-        return out + p[name]["bias"].astype(v.dtype)
+        return _apply_conv_tran(p, name, v)
 
     net = jax.nn.relu(conv("input_stage_conv", x))
 

@@ -85,6 +85,24 @@ def test_conv_transpose_phase_identity(rng, shape):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_generator_tail_phase_convtran_parity(rng, monkeypatch):
+    """The pytree fast path with _CONVTRAN_MODE='phase' matches 'direct'
+    (the headline_ablate phase_tran variant must be a pure perf knob)."""
+    from tecogan_tpu.models import Generator
+    from tecogan_tpu.models import generator as gen_mod
+    from tecogan_tpu.models.generator import generator_apply_hr_input
+
+    lr = jnp.asarray(rng.rand(1, 8, 12, 3), jnp.float32)
+    warped = jnp.asarray(rng.rand(1, 32, 48, 3), jnp.float32)
+    p = Generator(num_resblock=2).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 12, 51)))["params"]
+    base = generator_apply_hr_input(p, lr, warped, num_resblock=2)
+    monkeypatch.setattr(gen_mod, "_CONVTRAN_MODE", "phase")
+    got = generator_apply_hr_input(p, lr, warped, num_resblock=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_conv_transpose_phase_bias_and_grad(rng):
     x = jnp.asarray(rng.randn(1, 8, 8, 4), jnp.float32)
     k = jnp.asarray(rng.randn(3, 3, 6, 4), jnp.float32)

@@ -67,6 +67,10 @@ def main() -> None:
         "patchify_in": dict(fold_input_s2d="patchify"),
         "tappack+patchify": dict(outconv="tappack",
                                  fold_input_s2d="patchify"),
+        # Four-phase stride-2 convT (ops/convtran.py) for the upsample tail
+        # (~0.45 ms/frame as lax.conv_transpose per trace_step).
+        "phase_tran": dict(convtran="phase"),
+        "tappack+phase": dict(outconv="tappack", convtran="phase"),
     }
     unknown = [a for a in argv if a not in variants]
     if unknown:
@@ -75,10 +79,13 @@ def main() -> None:
     if argv:
         variants = {k: variants[k] for k in argv}
     results = {}
+    from tecogan_tpu.models import generator as gen_mod
     orig_outconv = layers._OUTCONV_SMALL_MODE
+    orig_convtran = gen_mod._CONVTRAN_MODE
     for name, opts in variants.items():
         layers._FOLD_THRESHOLD_PIXELS = opts.pop("fold_thresh", orig_thresh)
         layers._OUTCONV_SMALL_MODE = opts.pop("outconv", orig_outconv)
+        gen_mod._CONVTRAN_MODE = opts.pop("convtran", orig_convtran)
         cfg = base_cfg.replace(**opts) if opts else base_cfg
         try:
             sr = StreamingSR(cfg, gp, fp, output="uint8")
@@ -90,6 +97,7 @@ def main() -> None:
         print(f"{name}: {results[name]} fps", flush=True)
     layers._FOLD_THRESHOLD_PIXELS = orig_thresh
     layers._OUTCONV_SMALL_MODE = orig_outconv
+    gen_mod._CONVTRAN_MODE = orig_convtran
     print(json.dumps(results))
 
 
