@@ -38,6 +38,15 @@ def build_parser() -> argparse.ArgumentParser:
     # inference
     p.add_argument("--input_dir_LR", default=None)
     p.add_argument("--input_dir_HR", default=None)
+    p.add_argument("--input_video", default=None,
+                   help="decode LR frames straight from a video file "
+                        "(mp4/avi/...) instead of a PNG directory")
+    p.add_argument("--output_video", default=None,
+                   help="encode HR output to this video file (.mp4/.avi; "
+                        "relative paths land under --output_dir) instead "
+                        "of per-frame images")
+    p.add_argument("--output_video_fps", type=float, default=0.0,
+                   help="HR video frame rate (default: source fps, else 24)")
     p.add_argument("--output_pre", default="",
                    help="subfolder of output_dir for this scene")
     p.add_argument("--output_name", default="output")
@@ -173,11 +182,22 @@ def run_inference(args, config) -> None:
     data = load_inference_frames(
         input_dir_lr=args.input_dir_LR,
         input_dir_hr=args.input_dir_HR,
+        input_video=args.input_video,
         max_frames=args.max_frames,
         as_uint8=not args.pipeline,  # pipeline path consumes f32
     )
     gen_params, fnet_params = load_inference_params(args, config)
     out_dir = os.path.join(args.output_dir, args.output_pre)
+
+    def video_writer(warmup: int):
+        from tecogan_tpu.data.video_io import VideoFrameWriter
+
+        path = args.output_video
+        if not os.path.isabs(path):
+            path = os.path.join(out_dir, path)
+        fps = args.output_video_fps or data.fps or 24.0
+        return VideoFrameWriter(path, fps=fps, warmup=warmup)
+
     if args.pipeline:
         from tecogan_tpu.parallel import PipelinedStreamingSR
         import cv2
@@ -190,6 +210,12 @@ def run_inference(args, config) -> None:
         n = inputs.shape[0]
         print(f"total time {secs:.2f}, frame number {n}")  # main.py:270 format
         os.makedirs(out_dir, exist_ok=True)
+        if args.output_video:
+            vw = video_writer(warmup=0)
+            vw.submit(np.ascontiguousarray(hr), 0)
+            written = vw.close()
+            print(f"Wrote {written} frames to {vw.path}")
+            return
         for i in range(hr.shape[0]):
             cv2.imwrite(os.path.join(
                 out_dir, f"{args.output_name}_{i:04d}.{args.output_ext}"),
@@ -204,9 +230,14 @@ def run_inference(args, config) -> None:
         spatial_mesh = make_mesh({config.sp_axis: args.spatial_shards})
     sr = StreamingSR(config, gen_params, fnet_params, output="uint8",
                      spatial_mesh=spatial_mesh)
-    writer = FrameWriter(out_dir, name=args.output_name,
-                         ext=args.output_ext, warmup=WARMUP_FRAMES,
-                         num_threads=config.queue_thread)
+    if args.output_video:
+        writer = video_writer(warmup=WARMUP_FRAMES)
+        dest = writer.path
+    else:
+        writer = FrameWriter(out_dir, name=args.output_name,
+                             ext=args.output_ext, warmup=WARMUP_FRAMES,
+                             num_threads=config.queue_thread)
+        dest = out_dir
     try:
         _, secs = sr.run(data.inputs, warmup=WARMUP_FRAMES,
                          on_chunk=writer.submit)
@@ -214,7 +245,7 @@ def run_inference(args, config) -> None:
         written = writer.close()
     n = data.inputs.shape[0]
     print(f"total time {secs:.2f}, frame number {n}")  # main.py:270 format
-    print(f"Wrote {written} frames to {out_dir}")
+    print(f"Wrote {written} frames to {dest}")
 
 
 def run_train(args, config) -> None:

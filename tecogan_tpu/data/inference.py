@@ -28,6 +28,7 @@ from tecogan_tpu.recurrent.inference import prepend_warmup
 class InferenceData(NamedTuple):
     paths_lr: List[str]
     inputs: np.ndarray  # (T, h, w, 3) [0, 1] f32 or raw uint8, warm-up included
+    fps: float = 0.0  # source frame rate (video-file input only; 0 = unknown)
 
 
 def _native_io(num_threads: int = 8):
@@ -51,6 +52,7 @@ def load_inference_frames(
     warmup: bool = True,
     as_uint8: bool = False,
     use_native: bool = True,
+    input_video: Optional[str] = None,
 ) -> InferenceData:
     """Load the LR input sequence.
 
@@ -58,8 +60,28 @@ def load_inference_frames(
     so uploads cost 4x less; StreamingSR normalizes on device bit-identically.
     Ignored on the HR->LR Gaussian path, which is float by construction
     (reference dataloader.py:34-36).
+
+    ``input_video`` decodes a video file instead of a PNG directory
+    (data/video_io.py — a capability the reference lacks); the same
+    reversed-[5..1] warm-up protocol applies.
     """
     import cv2
+
+    if input_video:
+        from tecogan_tpu.data.video_io import read_video_frames
+
+        frames, fps = read_video_frames(
+            input_video, max_frames=max_frames, as_uint8=as_uint8)
+        paths = [f"{input_video}#{i}" for i in range(frames.shape[0])]
+        if warmup:
+            if frames.shape[0] < 6:
+                raise ValueError(
+                    "warm-up needs >= 6 frames "
+                    f"({frames.shape[0]} in {input_video})")
+            paths = prepend_warmup(paths)
+            frames = np.concatenate([frames[5:0:-1], frames], axis=0)
+        return InferenceData(paths_lr=paths,
+                             inputs=np.ascontiguousarray(frames), fps=fps)
 
     filedir, down_sp = input_dir_lr, False
     if filedir is None or not os.path.exists(filedir):
