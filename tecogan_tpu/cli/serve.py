@@ -1,4 +1,4 @@
-"""Multi-stream serving CLI: N PNG sequences through one batched server.
+"""Multi-stream serving CLI: N sequences through one batched server.
 
 The reference's inference entry (main.py:253-270) and this repo's
 ``cli.main --mode inference`` each serve ONE sequence per process. This
@@ -7,9 +7,13 @@ driver runs several concurrently through :class:`tecogan_tpu.serve.VSRServer`
 batching), per-stream PNG output via the background FrameWriter — and can
 instead dump the AOT deployment artifact (serve/export.py).
 
+Stream sources may be LR PNG directories OR video files (mp4/avi, decoded
+via data/video_io.py), mixed freely; ``--output_videos`` encodes each
+stream's HR output as ``<name>.mp4`` instead of a PNG directory.
+
 Usage:
-  # serve: one output subdirectory (the input dir's basename) per stream
-  python -m tecogan_tpu.cli.serve --input_dirs LR/calendar,LR/foliage \\
+  # serve: one output subdirectory (the input's basename) per stream
+  python -m tecogan_tpu.cli.serve --input_dirs LR/calendar,clip.mp4 \\
       --output_dir results --tf_npz model/TecoGAN.npz --max_streams 4
 
   # export the serving step as a StableHLO artifact (params baked)
@@ -34,9 +38,13 @@ from tecogan_tpu.recurrent.inference import WARMUP_FRAMES
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("tecogan_tpu.cli.serve")
     p.add_argument("--input_dirs", default=None,
-                   help="comma-separated LR PNG directories, one stream each")
+                   help="comma-separated LR sources (PNG directory or video "
+                        "file), one stream each")
     p.add_argument("--output_dir", default=None)
     p.add_argument("--output_name", default="output")
+    p.add_argument("--output_videos", action="store_true",
+                   help="encode each stream's HR output as <name>.mp4 "
+                        "(source fps when known) instead of a PNG directory")
     p.add_argument("--max_streams", type=int, default=4)
     p.add_argument("--max_frames", type=int, default=-1)
     p.add_argument("--no_warmup", action="store_true",
@@ -85,17 +93,26 @@ def run_serve(args, config) -> None:
     from tecogan_tpu.serve import VSRServer
 
     dirs = [d for d in args.input_dirs.split(",") if d]
-    names = [os.path.basename(os.path.normpath(d)) for d in dirs]
+
+    def stream_name(src: str) -> str:
+        base = os.path.basename(os.path.normpath(src))
+        return os.path.splitext(base)[0] if os.path.isfile(src) else base
+
+    names = [stream_name(d) for d in dirs]
     if len(set(names)) != len(names):
         raise SystemExit("input_dirs basenames must be unique "
                          "(they name the output subdirectories)")
     warmup = 0 if args.no_warmup else WARMUP_FRAMES
-    seqs = {}
+    seqs, fps = {}, {}
     for d, name in zip(dirs, names):
-        data = load_inference_frames(input_dir_lr=d, as_uint8=True,
-                                     max_frames=args.max_frames,
-                                     warmup=not args.no_warmup)
+        is_file = os.path.isfile(d)
+        data = load_inference_frames(
+            input_dir_lr=None if is_file else d,
+            input_video=d if is_file else None,
+            as_uint8=True, max_frames=args.max_frames,
+            warmup=not args.no_warmup)
         seqs[name] = data.inputs  # (T, h, w, 3) uint8
+        fps[name] = data.fps
     shapes = {v.shape[1:] for v in seqs.values()}
     if len(shapes) != 1:
         raise SystemExit(f"all streams must share one LR geometry, got {shapes}")
@@ -115,9 +132,16 @@ def run_serve(args, config) -> None:
         while pending and len(srv.open_streams) < args.max_streams:
             name = pending.pop(0)
             srv.open(name)
-            writers[name] = FrameWriter(
-                os.path.join(args.output_dir, name), name=args.output_name,
-                warmup=warmup, num_threads=2)
+            if args.output_videos:
+                from tecogan_tpu.data.video_io import VideoFrameWriter
+
+                writers[name] = VideoFrameWriter(
+                    os.path.join(args.output_dir, f"{name}.mp4"),
+                    fps=fps[name] or 24.0, warmup=warmup)
+            else:
+                writers[name] = FrameWriter(
+                    os.path.join(args.output_dir, name), name=args.output_name,
+                    warmup=warmup, num_threads=2)
             print(f"[serve] +{name} ({seqs[name].shape[0]} frames, "
                   f"{len(srv.open_streams)}/{args.max_streams} slots)")
         tick_frames = {n: seqs[n][cursor[n]] for n in srv.open_streams}

@@ -109,6 +109,31 @@ def test_cli_video_input_matches_png_input(rng, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_cli_serve_video_streams(rng, tmp_path):
+    """cli.serve accepts video files as stream sources (mixed with PNG
+    dirs) and --output_videos encodes one HR mp4 per stream."""
+    from tecogan_tpu.cli import serve as cli_serve
+
+    clip_a = tmp_path / "clip_a.mp4"
+    _write_video(clip_a, _smooth_frames(rng, 8), fps=8.0)
+    png_dir = tmp_path / "scene_b"
+    png_dir.mkdir()
+    for i, f in enumerate(_smooth_frames(rng, 6)):
+        cv2.imwrite(str(png_dir / f"{i:04d}.png"), f[:, :, ::-1])
+
+    out = tmp_path / "served"
+    cli_serve.main([
+        "--input_dirs", f"{clip_a},{png_dir}",
+        "--output_dir", str(out), "--max_streams", "2",
+        "--output_videos", "--allow_random_weights", "--num_resblock", "2",
+    ])
+    hr_a, fps_a = read_video_frames(str(out / "clip_a.mp4"))
+    hr_b, _ = read_video_frames(str(out / "scene_b.mp4"))
+    assert hr_a.shape == (8, 4 * H, 4 * W, 3)
+    assert hr_b.shape == (6, 4 * H, 4 * W, 3)
+    assert abs(fps_a - 8.0) < 0.5
+
+
 def test_cli_video_output(rng, tmp_path):
     """--output_video encodes the HR stream: right count, 4x size, source
     fps carried over, content near the PNG outputs (mp4v is lossy)."""
