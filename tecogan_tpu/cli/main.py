@@ -204,14 +204,16 @@ def run_inference(args, config) -> None:
 
         sr = PipelinedStreamingSR(config, gen_params, fnet_params,
                                   output="uint8")
+        # Construct before the run: the writer validates the output
+        # extension in __init__, failing fast instead of after compute.
+        vw = video_writer(warmup=0) if args.output_video else None
         # as_uint8=False above: every load path returns float32 here.
         inputs = data.inputs
         hr, secs = sr.run(inputs, warmup=WARMUP_FRAMES)
         n = inputs.shape[0]
         print(f"total time {secs:.2f}, frame number {n}")  # main.py:270 format
         os.makedirs(out_dir, exist_ok=True)
-        if args.output_video:
-            vw = video_writer(warmup=0)
+        if vw is not None:
             vw.submit(np.ascontiguousarray(hr), 0)
             written = vw.close()
             print(f"Wrote {written} frames to {vw.path}")

@@ -125,39 +125,62 @@ def run_serve(args, config) -> None:
     pending = list(seqs)        # admission queue
     cursor = {n: 0 for n in seqs}
     writers = {}
+
+    def close_all() -> dict:
+        """Finalize every writer even if some fail (an unreleased cv2
+        VideoWriter leaves the container without its index — ALL remaining
+        streams would be unplayable, not just the failing one)."""
+        done, errs = {}, []
+        for n, wtr in writers.items():
+            try:
+                done[n] = wtr.close()
+            except BaseException as exc:
+                errs.append(exc)
+        if errs:
+            raise errs[0]
+        return done
+
     t0 = time.perf_counter()
     ticks = frames_done = 0
-    while pending or srv.open_streams:
-        # Admit while slots are free (continuous batching).
-        while pending and len(srv.open_streams) < args.max_streams:
-            name = pending.pop(0)
-            srv.open(name)
-            if args.output_videos:
-                from tecogan_tpu.data.video_io import VideoFrameWriter
+    try:
+        while pending or srv.open_streams:
+            # Admit while slots are free (continuous batching).
+            while pending and len(srv.open_streams) < args.max_streams:
+                name = pending.pop(0)
+                srv.open(name)
+                if args.output_videos:
+                    from tecogan_tpu.data.video_io import VideoFrameWriter
 
-                writers[name] = VideoFrameWriter(
-                    os.path.join(args.output_dir, f"{name}.mp4"),
-                    fps=fps[name] or 24.0, warmup=warmup)
-            else:
-                writers[name] = FrameWriter(
-                    os.path.join(args.output_dir, name), name=args.output_name,
-                    warmup=warmup, num_threads=2)
-            print(f"[serve] +{name} ({seqs[name].shape[0]} frames, "
-                  f"{len(srv.open_streams)}/{args.max_streams} slots)")
-        tick_frames = {n: seqs[n][cursor[n]] for n in srv.open_streams}
-        out = srv.step(tick_frames)
-        ticks += 1
-        for name, hr in out.items():
-            idx = cursor[name]
-            if idx >= warmup:  # drop warm-up outputs (reference main.py:262-269)
-                writers[name].submit(hr[None], idx)
-                frames_done += 1
-            cursor[name] += 1
-            if cursor[name] >= seqs[name].shape[0]:
-                srv.close(name)
-                print(f"[serve] -{name} done")
+                    writers[name] = VideoFrameWriter(
+                        os.path.join(args.output_dir, f"{name}.mp4"),
+                        fps=fps[name] or 24.0, warmup=warmup)
+                else:
+                    writers[name] = FrameWriter(
+                        os.path.join(args.output_dir, name),
+                        name=args.output_name, warmup=warmup, num_threads=2)
+                print(f"[serve] +{name} ({seqs[name].shape[0]} frames, "
+                      f"{len(srv.open_streams)}/{args.max_streams} slots)")
+            tick_frames = {n: seqs[n][cursor[n]] for n in srv.open_streams}
+            out = srv.step(tick_frames)
+            ticks += 1
+            for name, hr in out.items():
+                idx = cursor[name]
+                if idx >= warmup:  # drop warm-up (reference main.py:262-269)
+                    writers[name].submit(hr[None], idx)
+                    frames_done += 1
+                cursor[name] += 1
+                if cursor[name] >= seqs[name].shape[0]:
+                    srv.close(name)
+                    print(f"[serve] -{name} done")
+    except BaseException:
+        for wtr in writers.values():  # finalize containers; original error wins
+            try:
+                wtr.close()
+            except BaseException:
+                pass
+        raise
     secs = time.perf_counter() - t0
-    written = {n: wtr.close() for n, wtr in writers.items()}
+    written = close_all()
     print(f"total time {secs:.2f}, frame number {sum(written.values())}")
     print(f"{ticks} ticks, {frames_done/secs:.1f} frames/sec aggregate; "
           f"wrote {written}")

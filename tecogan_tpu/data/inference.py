@@ -125,47 +125,25 @@ def load_inference_frames(
     return InferenceData(paths_lr=paths, inputs=np.ascontiguousarray(frames))
 
 
-class FrameWriter:
-    """Background HR-frame PNG writer with native (libpng pool) encode.
+class AsyncChunkWriter:
+    """Background HR-chunk writer skeleton: a bounded queue feeds a worker
+    thread so host encoding overlaps device compute; errors are deferred to
+    ``close()``. Subclasses implement ``_write(frames, start)`` (and
+    optionally ``_finalize()``); shared by :class:`FrameWriter` and
+    data/video_io.py:VideoFrameWriter."""
 
-    ``submit(frames, start_index)`` enqueues a fetched chunk; a worker
-    thread encodes it (ctypes releases the GIL, so the n-thread C++ pool
-    runs truly parallel) while the device computes the next chunk. Falls
-    back to cv2.imwrite for non-PNG extensions or when the native library
-    is unavailable. ``start_index`` counts output frames including the
-    warm-up prefix; filenames are numbered from 0 after it (reference
-    main.py:262-269 skips the first 5 warm-up outputs the same way).
-    """
-
-    def __init__(self, out_dir: str, name: str = "output", ext: str = "png",
-                 warmup: int = 0, num_threads: int = 8, depth: int = 4):
-        os.makedirs(out_dir, exist_ok=True)
-        self.out_dir = out_dir
-        self.name = name
-        self.ext = ext
-        self.warmup = warmup
+    def __init__(self, depth: int = 4):
         self.count = 0
-        self._native = _native_io(num_threads) if ext == "png" else None
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._err: List[BaseException] = []
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def _path(self, out_idx: int) -> str:
-        return os.path.join(self.out_dir,
-                            f"{self.name}_{out_idx:04d}.{self.ext}")
-
     def _write(self, frames: np.ndarray, start: int) -> None:
-        first = start - self.warmup
-        paths = [self._path(first + i) for i in range(frames.shape[0])]
-        if self._native is not None:
-            self._native.encode_frames(paths, frames)
-        else:
-            import cv2
+        raise NotImplementedError
 
-            for p, f in zip(paths, frames):
-                cv2.imwrite(p, f[:, :, ::-1])
-        self.count += len(paths)
+    def _finalize(self) -> None:
+        """Release encoder resources; runs even when a write failed."""
 
     def _loop(self):
         while True:
@@ -187,8 +165,50 @@ class FrameWriter:
         """Flush, join, raise any deferred encode error; returns #frames."""
         self._q.put(None)
         self._thread.join()
-        if self._native is not None:
-            self._native.close()
+        self._finalize()
         if self._err:
             raise self._err[0]
         return self.count
+
+
+class FrameWriter(AsyncChunkWriter):
+    """Background HR-frame PNG writer with native (libpng pool) encode.
+
+    ``submit(frames, start_index)`` enqueues a fetched chunk; a worker
+    thread encodes it (ctypes releases the GIL, so the n-thread C++ pool
+    runs truly parallel) while the device computes the next chunk. Falls
+    back to cv2.imwrite for non-PNG extensions or when the native library
+    is unavailable. ``start_index`` counts output frames including the
+    warm-up prefix; filenames are numbered from 0 after it (reference
+    main.py:262-269 skips the first 5 warm-up outputs the same way).
+    """
+
+    def __init__(self, out_dir: str, name: str = "output", ext: str = "png",
+                 warmup: int = 0, num_threads: int = 8, depth: int = 4):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.name = name
+        self.ext = ext
+        self.warmup = warmup
+        self._native = _native_io(num_threads) if ext == "png" else None
+        super().__init__(depth=depth)
+
+    def _path(self, out_idx: int) -> str:
+        return os.path.join(self.out_dir,
+                            f"{self.name}_{out_idx:04d}.{self.ext}")
+
+    def _write(self, frames: np.ndarray, start: int) -> None:
+        first = start - self.warmup
+        paths = [self._path(first + i) for i in range(frames.shape[0])]
+        if self._native is not None:
+            self._native.encode_frames(paths, frames)
+        else:
+            import cv2
+
+            for p, f in zip(paths, frames):
+                cv2.imwrite(p, f[:, :, ::-1])
+        self.count += len(paths)
+
+    def _finalize(self) -> None:
+        if self._native is not None:
+            self._native.close()

@@ -21,11 +21,11 @@ if the container cannot be opened.
 from __future__ import annotations
 
 import os
-import queue
-import threading
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
+
+from tecogan_tpu.data.inference import AsyncChunkWriter
 
 #: fourcc candidates per output extension, tried in order.
 _FOURCC_BY_EXT = {
@@ -55,7 +55,9 @@ def read_video_frames(
         raise ValueError(f"cv2.VideoCapture could not open {path}")
     fps = float(cap.get(cv2.CAP_PROP_FPS) or 0.0)
     frames: List[np.ndarray] = []
-    while max_frames < 0 or len(frames) < max_frames:
+    # max_frames <= 0 means unlimited (same contract as the PNG-directory
+    # path in data/inference.py:load_inference_frames).
+    while max_frames <= 0 or len(frames) < max_frames:
         ok, bgr = cap.read()
         if not ok:
             break
@@ -69,15 +71,20 @@ def read_video_frames(
     return out, fps
 
 
-def _open_writer(path: str, fps: float, size_wh: Tuple[int, int]):
-    import cv2
-
+def _fourccs_for(path: str) -> Tuple[str, ...]:
     ext = os.path.splitext(path)[1].lower()
     fourccs = _FOURCC_BY_EXT.get(ext)
     if fourccs is None:
         raise ValueError(
             f"unsupported video extension {ext!r}; "
             f"choose one of {sorted(_FOURCC_BY_EXT)}")
+    return fourccs
+
+
+def _open_writer(path: str, fps: float, size_wh: Tuple[int, int]):
+    import cv2
+
+    fourccs = _fourccs_for(path)
     for cc in fourccs:
         w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*cc), fps, size_wh)
         if w.isOpened():
@@ -88,33 +95,33 @@ def _open_writer(path: str, fps: float, size_wh: Tuple[int, int]):
         "use .mp4 (mp4v) or .avi (MJPG/XVID)")
 
 
-class VideoFrameWriter:
+class VideoFrameWriter(AsyncChunkWriter):
     """Background HR-chunk video encoder.
 
-    Mirrors data/inference.py:FrameWriter's ``submit``/``close`` contract so
-    cli.main's decode -> device -> encode overlap works unchanged for video
-    output. Chunks arrive in stream order (StreamingSR.run iterates chunks
-    sequentially), so a single sequential container writer is sound; a
-    start_index regression (out-of-order submit) raises at close().
+    Shares data/inference.py:AsyncChunkWriter's ``submit``/``close``
+    contract so cli.main's decode -> device -> encode overlap works
+    unchanged for video output. Chunks arrive in stream order
+    (StreamingSR.run iterates chunks sequentially), so a single sequential
+    container writer is sound; the first chunk must start exactly at
+    ``warmup`` (the index of the first post-warm-up output) and any
+    start_index gap raises at close(). The output extension is validated
+    here in the constructor, before any decode/compile/compute is spent.
     """
 
     def __init__(self, path: str, fps: float = 24.0, warmup: int = 0,
                  depth: int = 4):
+        _fourccs_for(path)  # fail fast on unsupported extensions
         if os.path.dirname(path):
             os.makedirs(os.path.dirname(path), exist_ok=True)
         self.path = path
         self.fps = fps if fps > 0 else 24.0
         self.warmup = warmup
-        self.count = 0
         self._writer = None  # opened lazily on the first chunk (needs H, W)
-        self._next_start: Optional[int] = None
-        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
-        self._err: List[BaseException] = []
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        self._next_start: int = warmup
+        super().__init__(depth=depth)
 
     def _write(self, frames: np.ndarray, start: int) -> None:
-        if self._next_start is not None and start != self._next_start:
+        if start != self._next_start:
             raise ValueError(
                 f"out-of-order chunk: start {start}, expected "
                 f"{self._next_start} (video output must be sequential)")
@@ -126,27 +133,6 @@ class VideoFrameWriter:
             self._writer.write(np.ascontiguousarray(f[:, :, ::-1]))
         self.count += frames.shape[0]
 
-    def _loop(self):
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            try:
-                self._write(*item)
-            except BaseException as exc:  # surfaced by close()
-                self._err.append(exc)
-
-    def submit(self, frames: np.ndarray, start_index: int) -> None:
-        """frames: (n, H, W, 3) uint8 HR chunk (warm-up already dropped —
-        StreamingSR.run's on_chunk contract)."""
-        self._q.put((frames, start_index))
-
-    def close(self) -> int:
-        """Flush, join, raise any deferred encode error; returns #frames."""
-        self._q.put(None)
-        self._thread.join()
+    def _finalize(self) -> None:
         if self._writer is not None:
             self._writer.release()
-        if self._err:
-            raise self._err[0]
-        return self.count

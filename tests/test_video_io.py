@@ -48,6 +48,9 @@ def test_read_video_frames_roundtrip(rng, tmp_path):
     assert got_f.shape == (3, H, W, 3) and got_f.dtype == np.float32
     assert 0.0 <= got_f.min() and got_f.max() <= 1.0
 
+    # max_frames <= 0 = unlimited, matching the PNG-directory contract.
+    assert read_video_frames(str(p), max_frames=0)[0].shape[0] == 7
+
 
 def test_read_video_frames_missing_file(tmp_path):
     with pytest.raises(FileNotFoundError):
@@ -72,10 +75,20 @@ def test_video_frame_writer_sequential_and_ordering(rng, tmp_path):
 
 
 def test_video_frame_writer_rejects_unknown_ext(tmp_path):
-    w = VideoFrameWriter(str(tmp_path / "out.webm"), fps=10.0)
-    w.submit(np.zeros((1, 8, 8, 3), np.uint8), 0)
+    # Fails fast in the constructor, before any compute is spent.
     with pytest.raises(ValueError, match="extension"):
+        VideoFrameWriter(str(tmp_path / "out.webm"), fps=10.0)
+
+
+def test_video_frame_writer_warmup_start_enforced(rng, tmp_path):
+    frames = _smooth_frames(rng, 3, h=32, w=32)
+    w = VideoFrameWriter(str(tmp_path / "o.mp4"), fps=10.0, warmup=5)
+    w.submit(frames, 0)  # must start at warmup=5
+    with pytest.raises(ValueError, match="out-of-order"):
         w.close()
+    w = VideoFrameWriter(str(tmp_path / "o.mp4"), fps=10.0, warmup=5)
+    w.submit(frames, 5)
+    assert w.close() == 3
 
 
 def test_cli_video_input_matches_png_input(rng, tmp_path):
