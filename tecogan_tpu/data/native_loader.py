@@ -1,4 +1,4 @@
-"""ctypes bindings for the native data-loader core (native/tecodata.cpp).
+"""ctypes bindings for the native data-loader core (tecogan_tpu/native/tecodata.cpp).
 
 The C++ library plays the role TensorFlow's C++ queue runners play in the
 reference input pipeline (reference lib/dataloader.py:163-165,268-270):
@@ -22,15 +22,32 @@ from typing import List, Sequence
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libtecodata.so"))
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "native"))
 _BUILD_LOCK = threading.Lock()
 _LIB = None
 
 
+def _so_path() -> str:
+    """Where to build/find libtecodata.so: next to the source in a writable
+    checkout (dev layout, matches `make -C tecogan_tpu/native`), else a user
+    cache dir (wheel installs land in read-only site-packages)."""
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return os.path.join(_NATIVE_DIR, "libtecodata.so")
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "tecogan_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libtecodata.so")
+
+
+_SO_PATH = _so_path()
+
+
 def build_library(force: bool = False) -> str:
-    """Compile native/tecodata.cpp -> libtecodata.so (idempotent)."""
-    src = os.path.abspath(os.path.join(_NATIVE_DIR, "tecodata.cpp"))
+    """Compile tecogan_tpu/native/tecodata.cpp -> libtecodata.so (idempotent)."""
+    src = os.path.join(_NATIVE_DIR, "tecodata.cpp")
     with _BUILD_LOCK:
         if force or not os.path.exists(_SO_PATH) or (
             os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
