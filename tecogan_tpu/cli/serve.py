@@ -161,7 +161,9 @@ def run_serve(args, config) -> None:
                 print(f"[serve] +{name} ({seqs[name].shape[0]} frames, "
                       f"{len(srv.open_streams)}/{args.max_streams} slots)")
             tick_frames = {n: seqs[n][cursor[n]] for n in srv.open_streams}
-            out = srv.step(tick_frames)
+            # fetch=False: HR downloads happen on the writer threads,
+            # overlapped with the next tick's device compute.
+            out = srv.step(tick_frames, fetch=False)
             ticks += 1
             for name, hr in out.items():
                 idx = cursor[name]

@@ -198,6 +198,9 @@ class FrameWriter(AsyncChunkWriter):
                             f"{self.name}_{out_idx:04d}.{self.ext}")
 
     def _write(self, frames: np.ndarray, start: int) -> None:
+        # Device-array chunks (VSRServer.step(fetch=False)) materialize
+        # HERE, on the writer thread — the download overlaps the next tick.
+        frames = np.ascontiguousarray(frames)
         first = start - self.warmup
         paths = [self._path(first + i) for i in range(frames.shape[0])]
         if self._native is not None:

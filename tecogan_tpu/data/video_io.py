@@ -121,6 +121,9 @@ class VideoFrameWriter(AsyncChunkWriter):
         super().__init__(depth=depth)
 
     def _write(self, frames: np.ndarray, start: int) -> None:
+        # Device-array chunks (VSRServer.step(fetch=False)) materialize
+        # HERE, on the writer thread — the download overlaps the next tick.
+        frames = np.ascontiguousarray(frames)
         if start != self._next_start:
             raise ValueError(
                 f"out-of-order chunk: start {start}, expected "

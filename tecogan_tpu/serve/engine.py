@@ -200,7 +200,7 @@ class VSRServer:
         return tuple(self._slot_of)
 
     # ------------------------------------------------------------- serving
-    def step(self, frames: Mapping[object, np.ndarray]
+    def step(self, frames: Mapping[object, np.ndarray], fetch: bool = True
              ) -> Dict[object, np.ndarray]:
         """Advance every stream that delivered a frame by one step.
 
@@ -208,6 +208,12 @@ class VSRServer:
           frames: {stream_id: (h, w, 3) LR frame}, uint8 or float32 in
             [0, 1] (all the same dtype). Streams must be ``open``; streams
             omitted this tick keep their state untouched.
+          fetch: True returns host numpy arrays (one synchronous download
+            per tick). False returns per-stream device-array views and the
+            caller materializes them (``np.asarray``) when convenient —
+            e.g. on a writer thread, overlapping the HR download with the
+            next tick's compute. The views stay valid across later ticks
+            (only the recurrent state buffer is donated, not the outputs).
 
         Returns:
           {stream_id: (4h, 4w, 3) HR frame} per ``output`` dtype.
@@ -244,7 +250,8 @@ class VSRServer:
         self._state, out = self._step(
             self.gen_params, self.fnet_params, self._state,
             jnp.asarray(lr), jnp.asarray(reset), jnp.asarray(active))
-        out = np.asarray(jax.device_get(out))
+        if fetch:
+            out = np.asarray(jax.device_get(out))
         for sid in ids:
             self._fresh[sid] = False
         return {sid: out[self._slot_of[sid]] for sid in ids}

@@ -178,6 +178,23 @@ def test_lifecycle_errors(rng):
     assert srv.open_streams == ("b",)
 
 
+def test_step_fetch_false_matches_and_views_survive_ticks(rng):
+    """fetch=False returns device views equal to the fetched arrays, and
+    the views stay valid after later ticks (outputs are not donated) —
+    the contract the writer-thread overlap in cli.serve relies on."""
+    cfg, gen, fnet, gp, fp = make()
+    frames = rng.rand(3, H, W, 3).astype(np.float32)
+    s1 = VSRServer(cfg, gp, fp, H, W, max_streams=2, output="float32")
+    s2 = VSRServer(cfg, gp, fp, H, W, max_streams=2, output="float32")
+    s1.open("a")
+    s2.open("a")
+    fetched = [s1.step({"a": f})["a"] for f in frames]
+    deferred = [s2.step({"a": f}, fetch=False)["a"] for f in frames]
+    # Materialize ALL deferred views only after every tick ran.
+    for want, got in zip(fetched, deferred):
+        np.testing.assert_array_equal(want, np.asarray(got))
+
+
 def test_cli_serve_matches_single_stream_inference(rng, tmp_path):
     """cli.serve over two unequal-length streams == cli.main one-at-a-time
     (same weights via the same seed; reference main.py:253-270 loop)."""
