@@ -2,13 +2,15 @@
 
 The reference's inference entry (main.py:253-270) and this repo's
 ``cli.main --mode inference`` each serve ONE sequence per process. This
-driver runs several concurrently through :class:`tecogan_tpu.serve.VSRServer`
-— one compiled masked step, streams admitted as slots free up (continuous
+driver runs several concurrently through
+:class:`tecogan_tpu.serve.MultiGeometryServer` — one compiled masked step
+per LR geometry bucket, streams admitted as slots free up (continuous
 batching), per-stream PNG output via the background FrameWriter — and can
 instead dump the AOT deployment artifact (serve/export.py).
 
 Stream sources may be LR PNG directories OR video files (mp4/avi, decoded
-via data/video_io.py), mixed freely; ``--output_videos`` encodes each
+via data/video_io.py), mixed freely and of DIFFERENT resolutions (each
+geometry gets its own slot pool); ``--output_videos`` encodes each
 stream's HR output as ``<name>.mp4`` instead of a PNG directory.
 
 Usage:
@@ -90,7 +92,7 @@ def run_export(args, config) -> None:
 
 
 def run_serve(args, config) -> None:
-    from tecogan_tpu.serve import VSRServer
+    from tecogan_tpu.serve import MultiGeometryServer
 
     dirs = [d for d in args.input_dirs.split(",") if d]
 
@@ -113,16 +115,15 @@ def run_serve(args, config) -> None:
             warmup=not args.no_warmup)
         seqs[name] = data.inputs  # (T, h, w, 3) uint8
         fps[name] = data.fps
-    shapes = {v.shape[1:] for v in seqs.values()}
-    if len(shapes) != 1:
-        raise SystemExit(f"all streams must share one LR geometry, got {shapes}")
-    h, w, _ = shapes.pop()
 
     gen_params, fnet_params = load_inference_params(args, config)
-    srv = VSRServer(config, gen_params, fnet_params, h, w,
-                    max_streams=args.max_streams, output="uint8")
+    # Streams of different LR geometries are served together: one slot pool
+    # (one compiled step) per geometry, fanned out each tick.
+    srv = MultiGeometryServer(config, gen_params, fnet_params,
+                              slots_per_geometry=args.max_streams,
+                              output="uint8")
 
-    pending = list(seqs)        # admission queue
+    pending = list(seqs)        # admission queue (FIFO per geometry bucket)
     cursor = {n: 0 for n in seqs}
     writers = {}
 
@@ -144,10 +145,14 @@ def run_serve(args, config) -> None:
     ticks = frames_done = 0
     try:
         while pending or srv.open_streams:
-            # Admit while slots are free (continuous batching).
-            while pending and len(srv.open_streams) < args.max_streams:
-                name = pending.pop(0)
-                srv.open(name)
+            # Admit while slots are free (continuous batching): each
+            # stream waits only on its own geometry's bucket.
+            for name in list(pending):
+                h, w, _ = seqs[name].shape[1:]
+                if srv.free_slots(h, w) <= 0:
+                    continue
+                pending.remove(name)
+                srv.open(name, h, w)
                 if args.output_videos:
                     from tecogan_tpu.data.video_io import VideoFrameWriter
 
@@ -158,8 +163,9 @@ def run_serve(args, config) -> None:
                     writers[name] = FrameWriter(
                         os.path.join(args.output_dir, name),
                         name=args.output_name, warmup=warmup, num_threads=2)
+                used = args.max_streams - srv.free_slots(h, w)
                 print(f"[serve] +{name} ({seqs[name].shape[0]} frames, "
-                      f"{len(srv.open_streams)}/{args.max_streams} slots)")
+                      f"{h}x{w} bucket {used}/{args.max_streams} slots)")
             tick_frames = {n: seqs[n][cursor[n]] for n in srv.open_streams}
             # fetch=False: HR downloads happen on the writer threads,
             # overlapped with the next tick's device compute.

@@ -1,6 +1,10 @@
 """TPU-native serving layer: multi-stream batching + AOT export."""
 
-from tecogan_tpu.serve.engine import VSRServer, build_frame_fn
+from tecogan_tpu.serve.engine import (
+    MultiGeometryServer,
+    VSRServer,
+    build_frame_fn,
+)
 from tecogan_tpu.serve.export import (
     export_frame_step,
     load_frame_step,
@@ -8,6 +12,7 @@ from tecogan_tpu.serve.export import (
 )
 
 __all__ = [
+    "MultiGeometryServer",
     "VSRServer",
     "build_frame_fn",
     "export_frame_step",

@@ -31,7 +31,7 @@ quantization of outputs (4x less device->host traffic).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Mapping, Optional
+from typing import Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -255,3 +255,104 @@ class VSRServer:
         for sid in ids:
             self._fresh[sid] = False
         return {sid: out[self._slot_of[sid]] for sid in ids}
+
+
+class MultiGeometryServer:
+    """Continuous batching across streams of heterogeneous LR geometries.
+
+    XLA compiles one program per static shape, so a single slot pool cannot
+    mix frame sizes — but a production endpoint receives 144x180 and
+    540x960 streams alike. Streams are therefore bucketed by their LR
+    ``(height, width)``: each geometry lazily gets its own
+    :class:`VSRServer` slot pool (one compiled step per geometry, cached by
+    XLA across the process) and one :meth:`step` fans the tick's frames out
+    to the buckets that received any. All buckets share the same parameter
+    pytrees and config; per-stream semantics are exactly
+    :class:`VSRServer`'s (i.e. the reference loop, main.py:253-270).
+
+    Bucket steps are dispatched asynchronously back-to-back and fetched
+    after the last dispatch, so multi-bucket ticks overlap their HR
+    downloads with the remaining buckets' compute.
+
+    Args:
+      slots_per_geometry: slot-pool size of each geometry bucket. One chip
+        saturates at ~4-8 concurrent calendar-sized streams (BASELINE.md
+        "multi-stream saturation"); big-frame buckets saturate earlier.
+        Buckets are created on demand and kept for the server's lifetime
+        (their compiled steps and state pools stay resident).
+    """
+
+    def __init__(self, config: TecoConfig, gen_params, fnet_params,
+                 slots_per_geometry: int = 4, output: str = "uint8",
+                 mesh=None):
+        self.config = config
+        self.gen_params = gen_params
+        self.fnet_params = fnet_params
+        self.slots_per_geometry = slots_per_geometry
+        self.output = output
+        self.mesh = mesh
+        self._buckets: Dict[Tuple[int, int], VSRServer] = {}
+        self._geo_of: Dict[object, Tuple[int, int]] = {}
+
+    # ------------------------------------------------------------ lifecycle
+    def open(self, stream_id, height: int, width: int) -> int:
+        """Attach a stream of LR geometry (height, width); returns its slot
+        within the geometry's bucket. Raises RuntimeError when that bucket
+        is full (admission control is the caller's policy)."""
+        if stream_id in self._geo_of:
+            raise ValueError(f"stream {stream_id!r} already open")
+        geo = (int(height), int(width))
+        srv = self._buckets.get(geo)
+        if srv is None:
+            srv = self._buckets[geo] = VSRServer(
+                self.config, self.gen_params, self.fnet_params,
+                geo[0], geo[1], max_streams=self.slots_per_geometry,
+                output=self.output, mesh=self.mesh)
+        slot = srv.open(stream_id)
+        self._geo_of[stream_id] = geo
+        return slot
+
+    def close(self, stream_id) -> None:
+        geo = self._geo_of.pop(stream_id)
+        self._buckets[geo].close(stream_id)
+
+    def free_slots(self, height: int, width: int) -> int:
+        """Free slots in the (height, width) bucket — full pool size when
+        the bucket does not exist yet."""
+        srv = self._buckets.get((int(height), int(width)))
+        if srv is None:
+            return self.slots_per_geometry
+        return self.slots_per_geometry - len(srv.open_streams)
+
+    @property
+    def open_streams(self):
+        return tuple(self._geo_of)
+
+    @property
+    def geometries(self):
+        """Instantiated buckets as {(height, width): (open, capacity)}."""
+        return {geo: (len(srv.open_streams), self.slots_per_geometry)
+                for geo, srv in self._buckets.items()}
+
+    # ------------------------------------------------------------- serving
+    def step(self, frames: Mapping[object, np.ndarray], fetch: bool = True
+             ) -> Dict[object, np.ndarray]:
+        """Advance every stream that delivered a frame (any mix of
+        geometries) by one step; same contract as :meth:`VSRServer.step`."""
+        if not frames:
+            return {}
+        by_geo: Dict[Tuple[int, int], Dict[object, np.ndarray]] = {}
+        for sid, frame in frames.items():
+            geo = self._geo_of.get(sid)
+            if geo is None:
+                raise KeyError(f"streams not open: [{sid!r}]")
+            by_geo.setdefault(geo, {})[sid] = frame
+        # Dispatch every bucket before materializing any output: JAX async
+        # dispatch overlaps bucket k's HR download with bucket k+1's step.
+        parts = [self._buckets[geo].step(fs, fetch=False)
+                 for geo, fs in by_geo.items()]
+        out: Dict[object, np.ndarray] = {}
+        for part in parts:
+            for sid, hr in part.items():
+                out[sid] = np.asarray(jax.device_get(hr)) if fetch else hr
+        return out

@@ -9,7 +9,9 @@ Responsibilities, in reference order:
   (main.py:394-402)
 - periodic checkpoint + detached test-while-train inference subprocess
   (main.py:151-174,418-421)
-- KeyboardInterrupt saves a final checkpoint (main.py:423-429)
+- KeyboardInterrupt saves a final checkpoint (main.py:423-429); SIGTERM
+  (cloud/TPU preemption notice — no reference analog, the reference only
+  handles Ctrl-C) finishes the in-flight step, saves, and exits cleanly
 
 TPU deviations by design: the step is one jitted program (no fetch lists);
 data-parallel over a mesh when more than one device is visible; throughput
@@ -20,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -106,6 +109,40 @@ def _spawn_test_while_train(config: TecoConfig, output_dir: str,
     return proc
 
 
+class _PreemptionGuard:
+    """Graceful-shutdown flag for SIGTERM.
+
+    Cloud TPU/GKE preemption delivers SIGTERM with a grace window before the
+    hard kill; the reference saves only on Ctrl-C (main.py:423-429). The
+    handler just sets a flag — the step loop finishes the in-flight jitted
+    step (interrupting XLA mid-dispatch is not safe), saves a checkpoint,
+    and returns, so a preempted run resumes exactly where it stopped.
+    No-op outside the main thread (signal.signal raises ValueError there).
+    """
+
+    def __init__(self):
+        self.fired = False
+        self._prev = None
+        self._installed = False
+
+    def __enter__(self):
+        def handler(signum, frame):
+            self.fired = True
+            print("SIGTERM: finishing current step, saving final checkpoint")
+
+        try:
+            self._prev = signal.signal(signal.SIGTERM, handler)
+            self._installed = True
+        except ValueError:
+            pass
+        return self
+
+    def __exit__(self, *exc):
+        if self._installed:
+            signal.signal(signal.SIGTERM, self._prev)
+        return False
+
+
 def train(
     config: TecoConfig,
     output_dir: str,
@@ -167,9 +204,14 @@ def train(
     metrics = {}
 
     try:
-        with loader:
+        with _PreemptionGuard() as preempt, loader:
             start_step = int(jax.device_get(state.step))
             for it in range(start_step, total):
+                if preempt.fired:
+                    step = int(jax.device_get(state.step))
+                    save_checkpoint(ckpt_dir, state, step)
+                    print(f"Preempted: saved final checkpoint at step {step}")
+                    break
                 batch = put(loader.next_batch())
                 state, metrics = trainer.train_step(state, batch)
                 frames_window += config.batch_size * config.unroll_frames

@@ -99,6 +99,53 @@ def test_train_driver_end_to_end(scene_root, tmp_path):
     assert int(np.asarray(state.step)) == 7
 
 
+def test_sigterm_preemption_saves_checkpoint(scene_root, tmp_path, monkeypatch):
+    """SIGTERM mid-run (cloud preemption notice) finishes the in-flight
+    step, saves a final checkpoint, and returns — and the run resumes from
+    exactly that step (train/loop.py:_PreemptionGuard; no reference analog,
+    the reference handles only Ctrl-C, main.py:423-429)."""
+    import signal
+
+    import tecogan_tpu.train.loop as loop_mod
+    from tecogan_tpu.train.checkpoint import latest_step
+    from tecogan_tpu.train.loop import train
+
+    real_build = loop_mod.build_trainer
+
+    def build(config, **kw):
+        trainer = real_build(config, **kw)
+        orig = trainer.train_step
+        calls = {"n": 0}
+
+        def wrapped(state, batch):
+            calls["n"] += 1
+            if calls["n"] == 2:  # deliver the signal during step 2
+                os.kill(os.getpid(), signal.SIGTERM)
+            return orig(state, batch)
+
+        trainer.train_step = wrapped
+        return trainer
+
+    monkeypatch.setattr(loop_mod, "build_trainer", build)
+    cfg = TecoConfig(
+        num_resblock=2, crop_size=8, batch_size=2, rnn_n=3,
+        ratio=-0.01, vgg_scaling=-0.002, remat_generator=False,
+        input_video_dir=scene_root, str_dir=2000, end_dir=2001,
+        end_dir_val=2002, max_frm=23, queue_thread=2,
+        display_freq=100, summary_freq=100, save_freq=100,
+    )
+    out = str(tmp_path / "run")
+    state = train(cfg, out, max_steps=50, use_mesh=False,
+                  test_while_train=False)
+    assert int(np.asarray(state.step)) == 2          # stopped, not ran to 50
+    assert latest_step(os.path.join(out, "checkpoints")) == 2
+
+    monkeypatch.setattr(loop_mod, "build_trainer", real_build)
+    state = train(cfg, out, max_steps=4, use_mesh=False,
+                  test_while_train=False)             # resumes at 2, runs to 4
+    assert int(np.asarray(state.step)) == 4
+
+
 def test_run_train_vgg_weight_resolution(monkeypatch, tmp_path):
     """vgg_scaling > 0: --vgg_npz loads, --allow_random_weights substitutes
     random VGG19 params (full case-3 shape, weight-independent FLOPs),

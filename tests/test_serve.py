@@ -18,6 +18,7 @@ from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.models import FNet, Generator
 from tecogan_tpu.recurrent.step import frame_step, init_state
 from tecogan_tpu.serve import (
+    MultiGeometryServer,
     VSRServer,
     build_frame_fn,
     export_frame_step,
@@ -40,7 +41,8 @@ def make(resblocks=2, **cfg_kw):
 
 def solo_run(gen, fnet, gp, fp, frames):
     """The reference-style single-stream loop (frame_step from zero state)."""
-    state = init_state(1, H, W)
+    h, w = np.asarray(frames[0]).shape[:2]
+    state = init_state(1, h, w)
     outs = []
     for f in frames:
         state, hr = frame_step(gen.apply, fnet.apply, gp, fp, state,
@@ -161,6 +163,60 @@ def test_server_mesh_sharded_matches(rng):
         VSRServer(cfg, gp, fp, H, W, max_streams=n + 1, mesh=mesh)
 
 
+def test_multi_geometry_server_matches_frame_step(rng):
+    """Streams of two different LR geometries served from one process must
+    each match the reference-style single-stream loop, across mixed ticks,
+    idle ticks, and a mid-run join."""
+    cfg, gen, fnet, gp, fp = make()
+    h2, w2 = 8, 24
+    a_frames = rng.rand(4, H, W, 3).astype(np.float32)
+    b_frames = rng.rand(3, h2, w2, 3).astype(np.float32)
+
+    srv = MultiGeometryServer(cfg, gp, fp, slots_per_geometry=2,
+                              output="float32")
+    srv.open("a", H, W)
+    a_out = [srv.step({"a": a_frames[0]})["a"]]
+    srv.open("b", h2, w2)                      # second geometry joins
+    out = srv.step({"a": a_frames[1], "b": b_frames[0]})
+    a_out.append(out["a"])
+    b_out = [out["b"]]
+    a_out.append(srv.step({"a": a_frames[2]})["a"])   # b idle this tick
+    out = srv.step({"a": a_frames[3], "b": b_frames[1]})
+    a_out.append(out["a"])
+    b_out.append(out["b"])
+    b_out.append(srv.step({"b": b_frames[2]})["b"])
+    assert srv.geometries == {(H, W): (1, 2), (h2, w2): (1, 2)}
+
+    np.testing.assert_allclose(np.stack(a_out),
+                               solo_run(gen, fnet, gp, fp, a_frames),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.stack(b_out),
+                               solo_run(gen, fnet, gp, fp, b_frames),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_multi_geometry_lifecycle(rng):
+    """Bucket capacity is per geometry; ids are global; slots recycle."""
+    cfg, _, _, gp, fp = make()
+    srv = MultiGeometryServer(cfg, gp, fp, slots_per_geometry=1,
+                              output="float32")
+    assert srv.free_slots(H, W) == 1           # bucket not built yet
+    srv.open("a", H, W)
+    assert srv.free_slots(H, W) == 0
+    assert srv.free_slots(8, 24) == 1          # other bucket unaffected
+    srv.open("b", 8, 24)                       # fits: different bucket
+    with pytest.raises(ValueError):
+        srv.open("b", H, W)                    # ids are global
+    with pytest.raises(RuntimeError):
+        srv.open("c", H, W)                    # (H, W) bucket full
+    with pytest.raises(KeyError):
+        srv.step({"zzz": np.zeros((H, W, 3), np.float32)})
+    srv.close("a")
+    srv.open("c", H, W)                        # slot freed
+    assert sorted(srv.open_streams) == ["b", "c"]
+    assert srv.step({}) == {}
+
+
 def test_lifecycle_errors(rng):
     cfg, _, _, gp, fp = make()
     srv = VSRServer(cfg, gp, fp, H, W, max_streams=1, output="float32")
@@ -196,20 +252,24 @@ def test_step_fetch_false_matches_and_views_survive_ticks(rng):
 
 
 def test_cli_serve_matches_single_stream_inference(rng, tmp_path):
-    """cli.serve over two unequal-length streams == cli.main one-at-a-time
-    (same weights via the same seed; reference main.py:253-270 loop)."""
+    """cli.serve over two unequal-length, unequal-GEOMETRY streams ==
+    cli.main one-at-a-time (same weights via the same seed; reference
+    main.py:253-270 loop). The mixed geometry exercises the
+    MultiGeometryServer bucketing end-to-end."""
     import cv2
 
     from tecogan_tpu.cli import main as cli_main
     from tecogan_tpu.cli import serve as cli_serve
 
     lengths = {"scene_a": 8, "scene_b": 6}
+    geos = {"scene_a": (H, W), "scene_b": (8, 24)}
     for name, t in lengths.items():
         d = tmp_path / "LR" / name
         d.mkdir(parents=True)
+        gh, gw = geos[name]
         for i in range(t):
             cv2.imwrite(str(d / f"{i:04d}.png"),
-                        (rng.rand(H, W, 3) * 255).astype(np.uint8))
+                        (rng.rand(gh, gw, 3) * 255).astype(np.uint8))
 
     serve_out = tmp_path / "served"
     cli_serve.main([
