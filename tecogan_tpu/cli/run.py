@@ -29,7 +29,27 @@ PRETRAINED_URLS = [
     ("https://ge.in.tum.de/download/data/TecoGAN/tos_LR.zip", "LR"),
     ("https://ge.in.tum.de/download/data/TecoGAN/vid4_HR.zip", "HR"),
     ("https://ge.in.tum.de/download/data/TecoGAN/tos_HR.zip", "HR"),
+    # Training dependencies of case 3 (reference fetches them lazily inside
+    # the case, runGan.py:113-121,128-134; listed here so one case-0 run
+    # documents the complete layout):
+    # TF-slim VGG19 classification checkpoint -> model/vgg_19.ckpt
+    ("http://download.tensorflow.org/models/vgg_19_2016_08_28.tar.gz",
+     "model"),
+    # published pretrained FRVSR -> model/ourFRVSR.*
+    ("http://ge.in.tum.de/download/2019-TecoGAN/FRVSR_Ours.zip", "model"),
 ]
+
+# TF checkpoints this framework consumes after npz conversion (case 0
+# prints the recipe; case 3 auto-wires them when present).
+VGG_NPZ = os.path.join("model", "vgg_19.npz")
+FRVSR_NPZ = os.path.join("model", "ourFRVSR.npz")
+
+
+def _print_npz_recipe(ckpt: str, npz: str) -> None:
+    print(f"  (with any TF install) convert {ckpt} -> {npz}:")
+    print(f"    reader = tf.train.load_checkpoint('{ckpt}')")
+    print(f"    np.savez('{npz}', **{{n: reader.get_tensor(n)")
+    print("        for n in reader.get_variable_to_shape_map()})")
 
 
 def folder_check(path: str) -> str:
@@ -53,19 +73,25 @@ def case0(root: str, allow_network: bool) -> None:
         print("Network downloads disabled (no egress in this environment).")
         print("To populate the data layout, fetch these into", root, ":")
         for url, d in PRETRAINED_URLS:
-            print(f"  {url} -> unzip into {os.path.join(root, d)}/")
-        print("Then convert the TF checkpoint for this framework:")
-        print("  (with any TF install)")
-        print("  reader = tf.train.load_checkpoint('model/TecoGAN')")
-        print("  np.savez('model/TecoGAN.npz', **{n: reader.get_tensor(n)")
-        print("      for n in reader.get_variable_to_shape_map()})")
+            print(f"  {url} -> extract into {os.path.join(root, d)}/")
+        print("Then convert the TF checkpoints for this framework:")
+        _print_npz_recipe("model/TecoGAN", "model/TecoGAN.npz")
+        print("For training case 3 (reference runGan.py:113-121,128-134):")
+        _print_npz_recipe("model/vgg_19.ckpt", VGG_NPZ)
+        _print_npz_recipe("model/ourFRVSR", FRVSR_NPZ)
         return
     for url, d in PRETRAINED_URLS:
         dest = os.path.join(root, d)
         os.makedirs(dest, exist_ok=True)
         zpath = os.path.join(dest, os.path.basename(url))
-        subprocess.call(f"wget {url} -O {zpath}; unzip {zpath} -d {dest}; "
-                        f"rm {zpath}", shell=True)
+        unpack = ("tar -xvf {z} -C {d}" if url.endswith(".tar.gz")
+                  else "unzip {z} -d {d}").format(z=zpath, d=dest)
+        subprocess.call(f"wget {url} -O {zpath}; {unpack}; rm {zpath}",
+                        shell=True)
+    print("Downloads done. Convert the TF checkpoints to npz:")
+    _print_npz_recipe("model/TecoGAN", "model/TecoGAN.npz")
+    _print_npz_recipe("model/vgg_19.ckpt", VGG_NPZ)
+    _print_npz_recipe("model/ourFRVSR", FRVSR_NPZ)
 
 
 def case1(root: str, scenes, extra) -> int:

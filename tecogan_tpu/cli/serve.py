@@ -47,7 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_videos", action="store_true",
                    help="encode each stream's HR output as <name>.mp4 "
                         "(source fps when known) instead of a PNG directory")
-    p.add_argument("--max_streams", type=int, default=4)
+    p.add_argument("--max_streams", type=int, default=4,
+                   help="slot-pool size PER GEOMETRY bucket: K distinct "
+                        "input resolutions compile K programs and keep "
+                        "K*max_streams resident state slots on the chip")
     p.add_argument("--max_frames", type=int, default=-1)
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the reversed-frame warm-up padding "

@@ -10,6 +10,7 @@ from tecogan_tpu.ops.space_to_depth import space_to_depth, depth_to_space
 from tecogan_tpu.ops.gauss import gaussian_kernel_2d, gauss_down_by4
 from tecogan_tpu.ops.warp import (
     dense_image_warp,
+    dense_image_warp_box,
     dense_image_warp_reference,
     warp_space_to_depth,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "gaussian_kernel_2d",
     "gauss_down_by4",
     "dense_image_warp",
+    "dense_image_warp_box",
     "dense_image_warp_reference",
     "warp_space_to_depth",
     "preprocess",

@@ -587,6 +587,87 @@ def warp_space_to_depth_flowlr(
     return _s2d_tile(out, block)
 
 
+def dense_image_warp_box(
+    image: jnp.ndarray,
+    flow: jnp.ndarray,
+    origin: Tuple[int, int],
+) -> jnp.ndarray:
+    """Warp only an output WINDOW of the full grid, gathering from the whole
+    source frame.
+
+    Semantically ``dense_image_warp(image, flow_full)[:, y0:y0+bh,
+    x0:x0+bw]`` where ``flow`` is the same slice of ``flow_full`` — bit-
+    identical arithmetic (same f32 coordinates, clamps and lerp as the flat
+    path of :func:`dense_image_warp`), but the gather carries only the
+    window's indices and its scatter-add backward only the window's
+    cotangents. Built for the Dst input assembly (reference
+    Teco.py:216-220,230-234): with ``crop_dt=0.75`` everything outside the
+    center box is zero-masked, so warping the full frame wastes
+    1 - 0.75^2 = 44% of the train step's largest op family
+    (train/losses.py:assemble_dst_inputs).
+
+    Args:
+      image: (B, H, W, C) full source frames.
+      flow: (B, bh, bw, 2) flow on the output window only.
+      origin: (y0, x0) of the window on the full grid.
+
+    Returns:
+      (B, bh, bw, C) warped window, dtype of ``image``.
+    """
+    b, h, w, c = image.shape
+    bh, bw = flow.shape[1], flow.shape[2]
+    y0, x0 = origin
+    assert 0 <= y0 <= h - bh and 0 <= x0 <= w - bw, (origin, (bh, bw), (h, w))
+    dtype = image.dtype
+
+    # Same cache-sized chunking as dense_image_warp's many-small-frames path:
+    # thresholds use the SOURCE frame pixels (the gather/scatter operand).
+    if (b >= 8 and h * w <= _MAP_THRESHOLD_PIXELS
+            and b * h * w >= _CHUNKED_MAP_MIN_INDICES):
+        chunk = max(1, _CHUNK_TARGET_PIXELS // (h * w))
+        if chunk > 1 and b % chunk == 0:
+            def few(args):
+                im, fl = args
+                return dense_image_warp_box(im, fl, origin)
+            imgs = image.reshape(b // chunk, chunk, h, w, c)
+            fls = flow.reshape(b // chunk, chunk, bh, bw, 2)
+            out = jax.lax.map(few, (imgs, fls))
+            return out.reshape(b, bh, bw, c)
+
+    # Window-offset grid; coordinates in f32 (see _corner_coords).
+    coord_dtype = jnp.promote_types(flow.dtype, jnp.float32)
+    fl32 = flow.astype(coord_dtype)
+    grid_y = (y0 + jnp.arange(bh, dtype=jnp.int32)).astype(coord_dtype)[
+        None, :, None]
+    grid_x = (x0 + jnp.arange(bw, dtype=jnp.int32)).astype(coord_dtype)[
+        None, None, :]
+    qy = grid_y - fl32[..., 0]
+    qx = grid_x - fl32[..., 1]
+    fy = jnp.clip(jnp.floor(qy), 0.0, h - 2)
+    fx = jnp.clip(jnp.floor(qx), 0.0, w - 2)
+    ay = jnp.clip(qy - fy, 0.0, 1.0)[..., None].astype(dtype)
+    ax = jnp.clip(qx - fx, 0.0, 1.0)[..., None].astype(dtype)
+    iy = fy.astype(jnp.int32)
+    ix = fx.astype(jnp.int32)
+
+    # Flat-layout tap-packed gather (see dense_image_warp's flat path).
+    flat_img = image.reshape(b, h * w, c)
+    flat = jnp.concatenate(
+        [flat_img,
+         jnp.roll(flat_img, -1, axis=1),
+         jnp.roll(flat_img, -w, axis=1),
+         jnp.roll(flat_img, -(w + 1), axis=1)], axis=-1)
+    base = (iy * w + ix).reshape(b, bh * bw, 1)
+    g = jnp.take_along_axis(flat, base, axis=1)
+    tl, tr = g[..., :c], g[..., c:2 * c]
+    bl, br = g[..., 2 * c:3 * c], g[..., 3 * c:]
+    axf = ax.reshape(b, bh * bw, 1)
+    ayf = ay.reshape(b, bh * bw, 1)
+    top = tl + (tr - tl) * axf
+    bot = bl + (br - bl) * axf
+    return (top + (bot - top) * ayf).reshape(b, bh, bw, c)
+
+
 def dense_image_warp_reference(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Direct 4-gather realization — the parity oracle for tests."""
     b, h, w, c = image.shape

@@ -77,7 +77,15 @@ def warm_start(state, ckpt_dir: str, step: Optional[int] = None,
     at their fresh initialization (the reference zero-fills missing
     *generator/fnet* vars via ``rest_zero``; for cross-model seeding the
     fresh-init behaviour is strictly better and documented here).
+
+    ``ckpt_dir`` may also be a TF checkpoint dumped to ``.npz`` (e.g. the
+    published FRVSR model, reference runGan.py:128-134,200-203) — the
+    canonical case-3 chain seeds TecoGAN from it via the same partial
+    restore.
     """
+    if os.path.isfile(ckpt_dir) and ckpt_dir.endswith(".npz"):
+        return warm_start_tf_npz(
+            state, ckpt_dir, include_discriminator=include_discriminator)
     mgr = _manager(ckpt_dir)
     step = mgr.latest_step() if step is None else step
     if step is None:
@@ -106,6 +114,39 @@ def warm_start(state, ckpt_dir: str, step: Optional[int] = None,
     if include_discriminator and state.d_params is not None:
         updates["d_params"] = pick("d_params", state.d_params)
         updates["d_batch_stats"] = pick("d_batch_stats", state.d_batch_stats)
+    return state.replace(**updates)
+
+
+def warm_start_tf_npz(state, npz_path: str,
+                      include_discriminator: bool = True):
+    """Warm-start model weights from a TF checkpoint dumped to npz
+    (:func:`convert_tf_npz` format) — how reference case 3 seeds TecoGAN
+    training from the published FRVSR model (runGan.py:200-203,
+    main.py:312-320)."""
+    n_rb = sum(1 for k in state.gen_params if k.endswith("_conv_1")
+               and k.startswith("resblock_"))
+    trees = convert_tf_npz(npz_path, num_resblock=n_rb)
+
+    def pick(name, current):
+        if current is None or name not in trees:
+            if current is not None:
+                print(f"warm_start: {name} not in {npz_path}; "
+                      "keeping fresh init")
+            return current
+        loaded = jax.tree.map(jnp.asarray, trees[name])
+        if jax.tree.structure(loaded) == jax.tree.structure(current):
+            return loaded
+        print(f"warm_start: structure mismatch for {name}; keeping fresh init")
+        return current
+
+    updates = dict(
+        gen_params=pick("generator", state.gen_params),
+        fnet_params=pick("fnet", state.fnet_params),
+    )
+    if include_discriminator and state.d_params is not None:
+        updates["d_params"] = pick("discriminator", state.d_params)
+        updates["d_batch_stats"] = pick(
+            "discriminator_batch_stats", state.d_batch_stats)
     return state.replace(**updates)
 
 

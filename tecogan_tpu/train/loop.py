@@ -139,7 +139,12 @@ class _PreemptionGuard:
 
     def __exit__(self, *exc):
         if self._installed:
-            signal.signal(signal.SIGTERM, self._prev)
+            # self._prev is None when the prior handler was installed outside
+            # Python (embedded interpreters); signal.signal(SIGTERM, None)
+            # raises TypeError — fall back to the default disposition.
+            signal.signal(signal.SIGTERM,
+                          self._prev if self._prev is not None
+                          else signal.SIG_DFL)
         return False
 
 
@@ -209,7 +214,11 @@ def train(
             for it in range(start_step, total):
                 if preempt.fired:
                     step = int(jax.device_get(state.step))
-                    save_checkpoint(ckpt_dir, state, step)
+                    # Guard against StepAlreadyExistsError: SIGTERM can land
+                    # right after a save_freq save (or before the first step
+                    # after resume) — that step is already on disk.
+                    if latest_step(ckpt_dir) != step:
+                        save_checkpoint(ckpt_dir, state, step)
                     print(f"Preempted: saved final checkpoint at step {step}")
                     break
                 batch = put(loader.next_batch())
@@ -269,9 +278,11 @@ def train(
                     if test_while_train:
                         _spawn_test_while_train(config, output_dir, ckpt_dir)
     except KeyboardInterrupt:
-        # Final save on Ctrl-C (reference main.py:423-429).
+        # Final save on Ctrl-C (reference main.py:423-429); skip when this
+        # exact step was just saved by the save_freq branch.
         step = int(jax.device_get(state.step))
-        save_checkpoint(ckpt_dir, state, step)
+        if latest_step(ckpt_dir) != step:
+            save_checkpoint(ckpt_dir, state, step)
         print(f"KeyboardInterrupt: saved final checkpoint at step {step}")
     finally:
         if val_loader is not None:

@@ -14,7 +14,11 @@ import jax
 import jax.numpy as jnp
 
 from tecogan_tpu.config import TecoConfig
-from tecogan_tpu.ops import dense_image_warp, upscale_bilinear
+from tecogan_tpu.ops import (
+    dense_image_warp,
+    dense_image_warp_box,
+    upscale_bilinear,
+)
 
 
 def content_loss(gen_outputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -114,6 +118,7 @@ def assemble_dst_inputs(
     config: TecoConfig,
     flow_hr_back: jnp.ndarray = None,
     skip_identity_warp: bool = True,
+    box_warp: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build the real/fake temporal-discriminator inputs.
 
@@ -139,6 +144,17 @@ def assemble_dst_inputs(
     sequence (reference Teco.py:206-209); otherwise the caller must pass
     ``flow_hr_back`` of shape (B, T//3, 4h, 4w, 2) computed by fnet on the
     reversed middle/next frame pairs (reference Teco.py:190-203).
+
+    ``box_warp``: with ``crop_dt < 1.0`` every warped value outside the
+    center crop box is zero-masked (dt_mergeDs) or cropped away (pure Dt)
+    anyway (reference Teco.py:216-220,230-234), so the warp — its gather AND
+    its scatter-add backward — runs only on the box via
+    :func:`dense_image_warp_box` (still gathering from the full source
+    frames: flow reaches up to 96 HR px past the box edge). At the published
+    ``crop_dt=0.75`` this removes 1 - 0.75^2 = 44% of the Dst warp family's
+    indices. Bit-identical to the full warp + mask/crop (same arithmetic on
+    the surviving pixels; zeros are exact) — False keeps the full-frame
+    parity oracle for tests.
 
     ``skip_identity_warp``: the middle triplet member's flow is exactly zero
     (reference Teco.py:207 warps it anyway), and a zero-flow bilinear warp is
@@ -168,6 +184,12 @@ def assemble_dst_inputs(
         b * t_size, hr_h, hr_w, c)
     t_gen = gen_outputs[:, :t_size].reshape(b * t_size, hr_h, hr_w, c)
 
+    # crop_dt box geometry (reference Teco.py:216-219).
+    crop = int(hr_h * config.crop_dt)
+    off = (hr_h - crop) // 2
+    crop = hr_h - 2 * off
+    use_box = box_warp and config.crop_dt < 1.0
+
     # Flow triplets: forward, zero, backward (reference Teco.py:206-213).
     v_pre = flow_hr[:, 0:t_size:3]
     if flow_hr_back is not None:
@@ -185,26 +207,47 @@ def assemble_dst_inputs(
         n_trip = t_size // 3
         start = t_flows - 2 - 3 * (n_trip - 1)  # ascending first index
         v_nxt = jnp.flip(flow_hr[:, start : t_flows - 1 : 3], axis=1)
+    if use_box:
+        # Only the box's flow is ever consumed (outside is masked/cropped).
+        v_pre = v_pre[:, :, off : off + crop, off : off + crop]
+        v_nxt = v_nxt[:, :, off : off + crop, off : off + crop]
+    vel_h, vel_w = (crop, crop) if use_box else (hr_h, hr_w)
     # Flows stay f32: the warp promotes coordinates to f32 internally, so a
     # bf16 cast here would only quantize the sample positions (~0.4 px at the
     # 96 px bound) without making any op cheaper.
     if skip_identity_warp:
-        # Only the outer members carry flow; (TB*2, H, W, 2).
+        # Only the outer members carry flow; (TB*2, h, w, 2).
         t_vel = jnp.stack([v_pre, v_nxt], axis=2)
-        t_vel = t_vel.astype(jnp.float32).reshape(t_batch * 2, hr_h, hr_w, 2)
+        t_vel = t_vel.astype(jnp.float32).reshape(t_batch * 2, vel_h, vel_w, 2)
     else:
         v_mid = jnp.zeros_like(v_pre)
         t_vel = jnp.stack([v_pre, v_mid, v_nxt], axis=2)
-        t_vel = t_vel.astype(jnp.float32).reshape(b * t_size, hr_h, hr_w, 2)
+        t_vel = t_vel.astype(jnp.float32).reshape(b * t_size, vel_h, vel_w, 2)
     t_vel = jax.lax.stop_gradient(t_vel)  # no D gradient into fnet (Teco.py:214)
 
-    # crop_dt box geometry (reference Teco.py:216-219).
-    crop = int(hr_h * config.crop_dt)
-    off = (hr_h - crop) // 2
-    crop = hr_h - 2 * off
-
     def build(frames_flat: jnp.ndarray) -> jnp.ndarray:
-        if skip_identity_warp:
+        if use_box:
+            # Warp only the crop box (gathering from the full frames); the
+            # box is then zero-padded back (dt_mergeDs) or IS the D input
+            # (pure Dt) — reference Teco.py:216-220,230-234.
+            trips = frames_flat.reshape(t_batch, 3, hr_h, hr_w, c)
+            if skip_identity_warp:
+                edges = trips[:, 0::2].reshape(t_batch * 2, hr_h, hr_w, c)
+                we = dense_image_warp_box(edges, t_vel, (off, off))
+                we = we.reshape(t_batch, 2, crop, crop, c)
+                mid = trips[:, 1:2, off : off + crop, off : off + crop]
+                boxed = jnp.concatenate([we[:, :1], mid, we[:, 1:]], axis=1)
+            else:
+                we = dense_image_warp_box(frames_flat, t_vel, (off, off))
+                boxed = we.reshape(t_batch, 3, crop, crop, c)
+            warped9 = _triplet_channels_grouped(boxed)
+            if not config.dt_mergeDs:
+                return None, warped9
+            warped9 = jnp.pad(
+                warped9,
+                ((0, 0), (off, hr_h - off - crop),
+                 (off, hr_w - off - crop), (0, 0)))
+        elif skip_identity_warp:
             trips = frames_flat.reshape(t_batch, 3, hr_h, hr_w, c)
             edges = trips[:, 0::2].reshape(t_batch * 2, hr_h, hr_w, c)
             we = dense_image_warp(edges, t_vel)
@@ -220,7 +263,7 @@ def assemble_dst_inputs(
             if config.crop_dt < 1.0:
                 warped9 = warped9[:, off : off + crop, off : off + crop, :]
             return None, warped9
-        if config.crop_dt < 1.0:
+        if not use_box and config.crop_dt < 1.0:
             # Center crop then zero-pad back (reference Teco.py:216-220,230-234).
             mask = jnp.zeros((1, hr_h, hr_w, 1), frames_flat.dtype)
             mask = mask.at[:, off : off + crop, off : off + crop, :].set(1.0)

@@ -460,3 +460,54 @@ class _nullctx:
 
     def __exit__(self, *a):
         return False
+
+
+def test_dense_image_warp_box_matches_full_slice(rng):
+    """dense_image_warp_box must equal the full-frame warp's window slice
+    bit-for-bit (same flat-path arithmetic, offset grid), including flows
+    that sample far outside the window (train/losses.py crop_dt box)."""
+    b, h, w, c = 3, 24, 20, 3
+    y0, x0, bh, bw = 3, 2, 18, 15
+    img = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    # Large flows: queries reach well past the box and clamp at frame edges.
+    flow = jnp.asarray(((rng.rand(b, h, w, 2) - 0.5) * 30).astype(np.float32))
+
+    from tecogan_tpu.ops import dense_image_warp_box
+
+    full = dense_image_warp(img, flow)[:, y0:y0 + bh, x0:x0 + bw]
+    box = dense_image_warp_box(img, flow[:, y0:y0 + bh, x0:x0 + bw], (y0, x0))
+    np.testing.assert_array_equal(np.asarray(box), np.asarray(full))
+
+    # Gradient w.r.t. the source frames: the box warp's scatter must place
+    # identical cotangents (full-path grad restricted to the window).
+    ct = jnp.asarray(rng.rand(b, bh, bw, c).astype(np.float32))
+
+    def loss_full(im):
+        return jnp.sum(dense_image_warp(im, flow)[:, y0:y0 + bh, x0:x0 + bw] * ct)
+
+    def loss_box(im):
+        return jnp.sum(dense_image_warp_box(
+            im, flow[:, y0:y0 + bh, x0:x0 + bw], (y0, x0)) * ct)
+
+    g_full = jax.grad(loss_full)(img)
+    g_box = jax.grad(loss_box)(img)
+    np.testing.assert_allclose(np.asarray(g_box), np.asarray(g_full),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_dense_image_warp_box_chunked_branch(rng):
+    """The box warp's cache-sized chunking (many small source frames) is
+    bit-exact vs the unchunked gather."""
+    from unittest import mock
+
+    import tecogan_tpu.ops.warp as W
+
+    b, h, w, c = 16, 16, 16, 3
+    y0 = x0 = 2
+    bh = bw = 12
+    img = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    flow = jnp.asarray(((rng.rand(b, bh, bw, 2) - 0.5) * 8).astype(np.float32))
+    with mock.patch.object(W, "_CHUNKED_MAP_MIN_INDICES", 1):
+        got = W.dense_image_warp_box(img, flow, (y0, x0))
+    want = W.dense_image_warp_box(img, flow, (y0, x0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

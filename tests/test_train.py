@@ -342,3 +342,43 @@ def test_vgg_train_step_end_to_end(rng):
     # vgg term actually contributes to the generator objective
     assert float(metrics["All_loss_Gen"]) > float(metrics["l2_content_loss"])
     assert float(state2.ema_losses["vgg_all"]) != 0.0
+
+
+@pytest.mark.parametrize("dt_mergeDs,skip", [(True, True), (True, False),
+                                             (False, True)])
+def test_dst_box_warp_equivalence(rng, dt_mergeDs, skip):
+    """Warping only the crop_dt box (box_warp=True, the default) must match
+    the full-frame warp + mask/crop oracle in value and gradient — outside
+    the box everything is zero-masked (dt_mergeDs) or cropped (pure Dt), so
+    those gathers were pure waste (VERDICT r3 #1; reference
+    Teco.py:216-220,230-234)."""
+    from tecogan_tpu.train.losses import assemble_dst_inputs
+
+    cfg = TecoConfig(num_resblock=2, crop_size=8, batch_size=2, rnn_n=4,
+                     ratio=0.01, pingpong=True, dt_mergeDs=dt_mergeDs,
+                     crop_dt=0.75, d_layerloss=dt_mergeDs)
+    b, rnn_n, h = 2, 4, 8
+    t = 2 * rnn_n - 1
+    r_inputs = jnp.asarray(rng.rand(b, t, h, h, 3), jnp.float32)
+    r_targets = jnp.asarray(rng.rand(b, t, 4 * h, 4 * h, 3), jnp.float32) * 2 - 1
+    # Flows large enough that box queries sample OUTSIDE the box.
+    flow_hr = jnp.asarray(rng.randn(b, t - 1, 4 * h, 4 * h, 2) * 6, jnp.float32)
+
+    def outputs(gen, box):
+        return assemble_dst_inputs(r_inputs, r_targets, gen, flow_hr, cfg,
+                                   skip_identity_warp=skip, box_warp=box)
+
+    gen = jnp.asarray(rng.rand(b, t, 4 * h, 4 * h, 3), jnp.float32) * 2 - 1
+    for fast, slow in zip(outputs(gen, True), outputs(gen, False)):
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+    def loss(gen, box):
+        real, fake = outputs(gen, box)
+        return jnp.sum(jnp.sin(fake) * real)
+
+    # Scatter-add accumulation order differs (window vs full-frame index
+    # sets), so gradients agree to float epsilon, not bit-exactly.
+    g_fast = jax.grad(lambda g: loss(g, True))(gen)
+    g_slow = jax.grad(lambda g: loss(g, False))(gen)
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_slow), rtol=3e-6, atol=5e-7)
