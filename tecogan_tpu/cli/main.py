@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--end_dir", type=int, default=None)
     p.add_argument("--end_dir_val", type=int, default=None)
     p.add_argument("--max_frm", type=int, default=None)
+    p.add_argument("--rnn_n", type=int, default=None,
+                   help="training unroll length (reference RNN_N, "
+                        "main.py:101)")
     p.add_argument("--queue_thread", type=int, default=None)
     p.add_argument("--infer_chunk", type=int, default=None)
     p.add_argument("--spatial_shards", type=int, default=1,
@@ -97,7 +100,8 @@ def config_from_args(args) -> "TecoConfig":
     for field in ("num_resblock", "rand_seed", "input_video_dir", "max_iter",
                   "batch_size", "crop_size", "learning_rate", "ratio",
                   "vgg_scaling", "str_dir", "end_dir", "end_dir_val",
-                  "max_frm", "queue_thread", "infer_chunk", "compute_dtype"):
+                  "max_frm", "rnn_n", "queue_thread", "infer_chunk",
+                  "compute_dtype"):
         v = getattr(args, field)
         if v is not None and not (isinstance(v, str) and v == ""):
             overrides[field] = v

@@ -231,7 +231,76 @@ def case_parity(root: str, scenes, extra, ref_csv=None) -> int:
     return 0 if ok else 1
 
 
-def _train_case(root: str, preset: str, output_name: str, extra) -> None:
+def _find_frvsr_weights(root: str):
+    """Locate FRVSR weights for the case-3 warm start: the converted
+    published model (``model/ourFRVSR.npz``, reference runGan.py:128-134)
+    or, failing that, the newest case-4 run's checkpoints
+    (``ex_FRVSR*/checkpoints``, the reference's documented alternative
+    'FRVSRModel = ex_FRVSRmm-dd-hh/model-500000', runGan.py:126-127)."""
+    npz = os.path.join(root, FRVSR_NPZ)
+    if os.path.exists(npz):
+        return npz
+    import glob
+
+    cands = [os.path.join(d, "checkpoints")
+             for d in glob.glob(os.path.join(root, "ex_FRVSR*"))]
+    cands = [c for c in cands if os.path.isdir(c)]
+    for ck in sorted(cands, key=os.path.getmtime, reverse=True):
+        from tecogan_tpu.train.checkpoint import latest_step
+
+        if latest_step(ck) is not None:
+            return ck
+    return None
+
+
+def _case3_chain_flags(root: str, extra, from_scratch: bool):
+    """The canonical case-3 wiring (reference runGan.py:107-244): VGG19
+    weights for the perceptual loss and the pretrained FRVSR warm start are
+    auto-passed when their converted files are present, and the case refuses
+    with instructions when not — mirroring the reference, which downloads
+    both before launching training (runGan.py:113-121,128-134).
+
+    Returns the extra flags, or None to refuse (instructions printed).
+    """
+    flags = []
+    if "--vgg_npz" not in extra and "--vgg_scaling" not in extra:
+        vgg = os.path.join(root, VGG_NPZ)
+        if os.path.exists(vgg):
+            flags += ["--vgg_npz", vgg]
+            print(f"case 3: VGG19 perceptual weights <- {vgg}")
+        elif "--allow_random_weights" not in extra:
+            print(f"case 3 needs {vgg} (the reference downloads vgg_19.ckpt "
+                  "here, runGan.py:113-121; no egress in this environment):")
+            print("  fetch http://download.tensorflow.org/models/"
+                  "vgg_19_2016_08_28.tar.gz, extract into model/")
+            _print_npz_recipe("model/vgg_19.ckpt", VGG_NPZ)
+            print("or pass --allow_random_weights for an untrained "
+                  "perceptual term (smoke runs only).")
+            return None
+    if (not from_scratch and "--pre_trained_dir" not in extra
+            and "--checkpoint" not in extra):
+        src = _find_frvsr_weights(root)
+        if src is None:
+            print("case 3 warm-starts from an FRVSR model (reference "
+                  "runGan.py:128-134,200-203). None found — either:")
+            print(f"  fetch http://ge.in.tum.de/download/2019-TecoGAN/"
+                  f"FRVSR_Ours.zip, extract into {os.path.join(root, 'model')}/")
+            _print_npz_recipe("model/ourFRVSR", FRVSR_NPZ)
+            print("  or train one: python -m tecogan_tpu.cli.run 4")
+            print("  or pass --from_scratch to skip the warm start.")
+            return None
+        flags += ["--pre_trained_dir", src]
+        print(f"case 3: FRVSR warm start <- {src}")
+    return flags
+
+
+def _train_case(root: str, preset: str, output_name: str, extra,
+                from_scratch: bool = False) -> int:
+    if preset == "tecogan":
+        chain = _case3_chain_flags(root, extra, from_scratch)
+        if chain is None:
+            return 2
+        extra = chain + list(extra)
     train_dir = folder_check(os.path.join(root, output_name))
     cmd = [
         sys.executable, "-m", "tecogan_tpu.cli.main",
@@ -242,9 +311,9 @@ def _train_case(root: str, preset: str, output_name: str, extra) -> None:
         "--input_video_dir", os.path.join(root, "TrainingDataPath"),
     ] + extra
     try:
-        subprocess.call(cmd)
+        return subprocess.call(cmd)
     except KeyboardInterrupt:
-        pass  # trainer saves its own final checkpoint (main.py:423-429)
+        return 0  # trainer saves its own final checkpoint (main.py:423-429)
 
 
 def main(argv=None) -> None:
@@ -259,6 +328,9 @@ def main(argv=None) -> None:
     p.add_argument("--allow_network", action="store_true")
     p.add_argument("--ref_csv", default=None,
                    help="reference metrics.csv for the parity gate")
+    p.add_argument("--from_scratch", action="store_true",
+                   help="case 3: skip the canonical FRVSR warm start "
+                        "(reference runGan.py:128-134) and train from init")
     args, extra = p.parse_known_args(argv)
     scenes = args.scenes.split(",")
 
@@ -268,13 +340,16 @@ def main(argv=None) -> None:
     if case == 0:
         case0(args.root, args.allow_network)
     elif case == 1:
-        case1(args.root, scenes, extra)
+        raise SystemExit(case1(args.root, scenes, extra))
     elif case == 2:
         case2(args.root, scenes, extra)
     elif case == 3:
-        _train_case(args.root, "tecogan", "ex_TecoGANmm-dd-hh", extra)
+        raise SystemExit(_train_case(args.root, "tecogan",
+                                     "ex_TecoGANmm-dd-hh", extra,
+                                     from_scratch=args.from_scratch))
     elif case == 4:
-        _train_case(args.root, "frvsr", "ex_FRVSRmm-dd-hh", extra)
+        raise SystemExit(_train_case(args.root, "frvsr",
+                                     "ex_FRVSRmm-dd-hh", extra))
 
 
 if __name__ == "__main__":

@@ -276,3 +276,129 @@ def test_parity_gate_requires_model(tmp_path):
 
     rc = case_parity(str(tmp_path), ["calendar"], [])
     assert rc == 2  # missing model/TecoGAN.npz -> instructions, no crash
+
+
+def _write_random_vgg_npz(path):
+    """Dump random VGG19 params in the TF-slim naming load_vgg19_npz expects
+    (the format the case-0 conversion recipe produces from vgg_19.ckpt)."""
+    from tecogan_tpu.models.vgg19 import random_vgg19_params
+
+    flat = {}
+    for name, d in random_vgg19_params(seed=3).items():  # e.g. "conv1_1"
+        block = name[4]
+        flat[f"vgg_19/conv{block}/{name}/weights"] = np.asarray(d["kernel"])
+        flat[f"vgg_19/conv{block}/{name}/biases"] = np.asarray(d["bias"])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def test_case3_chain_wiring(tmp_path, capsys):
+    """The canonical case-3 chain (reference runGan.py:107-244): VGG19 +
+    FRVSR warm start are auto-wired when present and refused with printed
+    instructions when not (VERDICT r3 #2)."""
+    from tecogan_tpu.cli.run import _case3_chain_flags
+
+    root = str(tmp_path)
+    # Nothing present: refuse with the VGG fetch+conversion recipe.
+    assert _case3_chain_flags(root, [], from_scratch=False) is None
+    out = capsys.readouterr().out
+    assert "vgg_19" in out and "np.savez" in out
+
+    # VGG present, no FRVSR anywhere: refuse with the warm-start options.
+    vgg = os.path.join(root, "model", "vgg_19.npz")
+    os.makedirs(os.path.dirname(vgg))
+    open(vgg, "wb").close()
+    assert _case3_chain_flags(root, [], from_scratch=False) is None
+    out = capsys.readouterr().out
+    assert "FRVSR" in out and "--from_scratch" in out
+
+    # --from_scratch skips the warm start; VGG still wired.
+    assert _case3_chain_flags(root, [], from_scratch=True) == [
+        "--vgg_npz", vgg]
+
+    # Published converted model present: both auto-passed.
+    frvsr = os.path.join(root, "model", "ourFRVSR.npz")
+    open(frvsr, "wb").close()
+    flags = _case3_chain_flags(root, [], from_scratch=False)
+    assert flags == ["--vgg_npz", vgg, "--pre_trained_dir", frvsr]
+
+    # Hand-passed flags are never overridden.
+    assert _case3_chain_flags(
+        root, ["--vgg_npz", "v", "--pre_trained_dir", "d"],
+        from_scratch=False) == []
+    # --allow_random_weights substitutes for the VGG npz (smoke runs).
+    os.remove(vgg)
+    assert _case3_chain_flags(
+        root, ["--allow_random_weights"], from_scratch=True) == []
+
+
+def test_case3_discovers_case4_checkpoints(tmp_path):
+    """Without the published npz, case 3 warm-starts from the newest local
+    case-4 run (reference runGan.py:126-127 'FRVSRModel = ex_FRVSR.../
+    model-500000')."""
+    import jax
+
+    from tecogan_tpu.cli.run import _find_frvsr_weights
+    from tecogan_tpu.train.checkpoint import save_checkpoint
+    from tecogan_tpu.train.trainer import Trainer
+
+    root = str(tmp_path)
+    assert _find_frvsr_weights(root) is None
+    # An ex_FRVSR dir without checkpoints is skipped.
+    empty = os.path.join(root, "ex_FRVSR_old", "checkpoints")
+    os.makedirs(empty)
+    assert _find_frvsr_weights(root) is None
+
+    cfg = TecoConfig(num_resblock=2, crop_size=8, batch_size=2, rnn_n=3,
+                     ratio=-0.01, vgg_scaling=-0.002, remat_generator=False)
+    state = Trainer(cfg).init_state(jax.random.PRNGKey(0))
+    ck = os.path.join(root, "ex_FRVSRmm-dd-hh", "checkpoints")
+    save_checkpoint(ck, state, 2)
+    assert _find_frvsr_weights(root) == ck
+    # The converted published model takes precedence when present.
+    npz = os.path.join(root, "model", "ourFRVSR.npz")
+    os.makedirs(os.path.dirname(npz))
+    open(npz, "wb").close()
+    assert _find_frvsr_weights(root) == npz
+
+
+@pytest.mark.slow
+def test_run_case4_then_case3_end_to_end(tmp_path, monkeypatch):
+    """The published training recipe, end to end through the orchestration
+    CLI on synthetic data: case 4 trains FRVSR and saves checkpoints; case 3
+    then auto-discovers them + the converted VGG npz and warm-starts the
+    adversarial run (reference runGan.py:107-244) — no hand-passed flags
+    beyond the tiny-shape overrides."""
+    from tecogan_tpu.cli import run as run_mod
+
+    root = str(tmp_path)
+    write_synthetic_scenes(os.path.join(root, "TrainingDataPath"),
+                           num_scenes=3, num_frames=12, height=96, width=112,
+                           start_index=2000)
+    _write_random_vgg_npz(os.path.join(root, "model", "vgg_19.npz"))
+
+    # Subprocesses must land on CPU, not the TPU tunnel.
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.setenv("PYTHONPATH", repo)
+
+    tiny = ["--num_resblock", "2", "--crop_size", "8", "--batch_size", "2",
+            "--rnn_n", "3", "--max_iter", "2", "--str_dir", "2000",
+            "--end_dir", "2001", "--end_dir_val", "2002", "--max_frm", "11",
+            "--queue_thread", "2", "--no_mesh", "--no_test_while_train"]
+
+    with pytest.raises(SystemExit) as e:
+        run_mod.main(["4", "--root", root] + tiny)
+    assert e.value.code == 0
+    from tecogan_tpu.train.checkpoint import latest_step
+    ck = os.path.join(root, "ex_FRVSRmm-dd-hh", "checkpoints")
+    assert latest_step(ck) == 2
+
+    with pytest.raises(SystemExit) as e:
+        run_mod.main(["3", "--root", root] + tiny)
+    assert e.value.code == 0
+    log = os.path.join(root, "ex_TecoGANmm-dd-hh", "log", "logfile.txt")
+    text = open(log).read()
+    assert "Warm-started weights from" in text
+    assert latest_step(
+        os.path.join(root, "ex_TecoGANmm-dd-hh", "checkpoints")) == 2
