@@ -288,6 +288,9 @@ def run_train(args, config) -> None:
 
 
 def main(argv=None) -> None:
+    from tecogan_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
 

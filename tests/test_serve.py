@@ -316,3 +316,184 @@ def test_export_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(new_state.prev_hr),
                                np.asarray(ref_state.prev_hr),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_prewarm_is_transparent_and_background_safe(rng):
+    """prewarm (VERDICT r3 #3) compiles buckets ahead of the first tick
+    without perturbing any stream's numbers: a prewarmed server must be
+    bit-identical to a lazy one, buckets must be instantiated (not
+    re-created) on open, and a background prewarm of a NEW geometry must
+    not disturb a bucket that is actively serving."""
+    cfg, gen, fnet, gp, fp = make()
+    frames = rng.rand(3, H, W, 3).astype(np.float32)
+
+    lazy = MultiGeometryServer(cfg, gp, fp, slots_per_geometry=2,
+                               output="float32")
+    lazy.open("a", H, W)
+    want = np.stack([lazy.step({"a": f})["a"] for f in frames])
+
+    warm = MultiGeometryServer(cfg, gp, fp, slots_per_geometry=2,
+                               output="float32")
+    assert warm.prewarm([(H, W)], frame_dtype=np.float32) is None
+    assert (H, W) in warm.geometries
+    bucket = warm._buckets[(H, W)]
+    warm.open("a", H, W)
+    assert warm._buckets[(H, W)] is bucket  # instantiated, not re-created
+    got = np.stack([warm.step({"a": f})["a"] for f in frames])
+    np.testing.assert_array_equal(got, want)
+
+    # Background prewarm of a second geometry while "a" keeps serving.
+    t = warm.prewarm([(H * 2, W * 2)], frame_dtype=np.float32,
+                     background=True)
+    more = np.stack([warm.step({"a": f})["a"] for f in frames])
+    t.join(timeout=300)
+    assert not t.is_alive()
+    assert (H * 2, W * 2) in warm.geometries
+    # The concurrent warm tick left serving numbers untouched: the second
+    # window continues the recurrence exactly as the lazy server does.
+    lazy2 = np.stack([lazy.step({"a": f})["a"] for f in frames])
+    np.testing.assert_array_equal(more, lazy2)
+    # And the warmed bucket serves immediately.
+    warm.open("b", H * 2, W * 2)
+    big = rng.rand(H * 2, W * 2, 3).astype(np.float32)
+    out = warm.step({"b": big})["b"]
+    assert out.shape == (H * 8, W * 8, 3)
+
+
+def test_persistent_cache_wiring(tmp_path, monkeypatch):
+    """enable_persistent_cache points jax at the dir and populates it on a
+    compile; TECOGAN_NO_COMPILE_CACHE=1 disables."""
+    from tecogan_tpu.utils.compilation_cache import enable_persistent_cache
+
+    monkeypatch.setenv("TECOGAN_NO_COMPILE_CACHE", "1")
+    assert enable_persistent_cache(str(tmp_path / "x")) is None
+
+    monkeypatch.delenv("TECOGAN_NO_COMPILE_CACHE")
+    cache = str(tmp_path / "xla")
+    try:
+        assert enable_persistent_cache(cache) == cache
+
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x) * 3.0 + jnp.sum(x)
+
+        f(jnp.arange(64.0).reshape(8, 8)).block_until_ready()
+        assert os.listdir(cache), "compile did not populate the cache dir"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_frame_source_matches_bulk_load(rng, tmp_path):
+    """FrameSource (incremental, bounded lookahead) must emit exactly the
+    sequence load_inference_frames materializes — same reversed-[5..1]
+    warm-up order, same uint8 bytes — just one frame at a time."""
+    import time
+
+    import cv2
+
+    from tecogan_tpu.data.inference import load_inference_frames
+    from tecogan_tpu.serve.sources import EOS, PENDING, FrameSource
+
+    d = tmp_path / "LR"
+    d.mkdir()
+    for i in range(9):
+        cv2.imwrite(str(d / f"{i:04d}.png"),
+                    (rng.rand(10, 12, 3) * 255).astype(np.uint8))
+    want = load_inference_frames(input_dir_lr=str(d), as_uint8=True).inputs
+
+    src = FrameSource(str(d), lookahead=3)
+    assert src.geometry(timeout=30) == (10, 12)
+    got, deadline = [], time.time() + 60
+    while time.time() < deadline:
+        f = src.try_next()
+        if f is EOS:
+            break
+        if f is PENDING:
+            time.sleep(0.001)
+            continue
+        got.append(f)
+    np.testing.assert_array_equal(np.stack(got), want)
+    assert src.warmup == 5
+
+    # warmup needs >= 6 frames: a short source fails loudly.
+    short = tmp_path / "short"
+    short.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(short / f"{i}.png"), np.zeros((8, 8, 3), np.uint8))
+    bad = FrameSource(str(short), lookahead=3)
+    assert bad.geometry(timeout=30) == (8, 8)  # geometry IS known...
+    with pytest.raises(ValueError, match="warm-up"):  # ...the feed fails
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if bad.try_next() is PENDING:
+                time.sleep(0.001)
+    # ...and a no-warmup live source of the same length is fine.
+    live = FrameSource(str(short), lookahead=3, warmup=False)
+    assert live.geometry(timeout=30) == (8, 8)
+
+
+def test_serve_ticks_proceed_while_decode_lags(rng, tmp_path, monkeypatch):
+    """VERDICT r3 #5: a lagging source must not stall other streams — the
+    tick loop serves whatever is decoded (the engine freezes an omitted
+    stream's state). Instrumented: there must be ticks where the fast
+    stream advanced WITHOUT the slow one, and the slow stream's own output
+    must still be bit-correct afterwards."""
+    import time
+
+    import cv2
+
+    import tecogan_tpu.serve as serve_pkg
+    import tecogan_tpu.serve.sources as sources_mod
+    from tecogan_tpu.cli import serve as cli_serve
+
+    for name, t in (("fast", 10), ("slow", 8)):
+        d = tmp_path / "LR" / name
+        d.mkdir(parents=True)
+        for i in range(t):
+            cv2.imwrite(str(d / f"{i:04d}.png"),
+                        (rng.rand(H, W, 3) * 255).astype(np.uint8))
+
+    real_iter = sources_mod.FrameSource._iter_png_dir
+
+    def lagging_iter(self):
+        for f in real_iter(self):
+            if "slow" in self.src:
+                time.sleep(0.25)
+            yield f
+
+    monkeypatch.setattr(sources_mod.FrameSource, "_iter_png_dir",
+                        lagging_iter)
+
+    tick_log = []
+    real_mgs = serve_pkg.MultiGeometryServer
+
+    class Instrumented(real_mgs):
+        def step(self, frames, fetch=True):
+            tick_log.append(sorted(frames))
+            return super().step(frames, fetch=fetch)
+
+    monkeypatch.setattr(serve_pkg, "MultiGeometryServer", Instrumented)
+
+    out = tmp_path / "served"
+    cli_serve.main([
+        "--input_dirs", f"{tmp_path}/LR/fast,{tmp_path}/LR/slow",
+        "--output_dir", str(out), "--max_streams", "2", "--lookahead", "2",
+        "--allow_random_weights", "--num_resblock", "2",
+    ])
+    assert ["fast"] in tick_log, (
+        f"no fast-only tick: the loop waited on the slow decoder {tick_log}")
+    assert len(os.listdir(out / "fast")) == 10
+    assert len(os.listdir(out / "slow")) == 8
+
+    # Bit-parity of the lagging stream vs an unthrottled single-stream run.
+    monkeypatch.setattr(sources_mod.FrameSource, "_iter_png_dir", real_iter)
+    solo = tmp_path / "solo"
+    cli_serve.main([
+        "--input_dirs", f"{tmp_path}/LR/slow",
+        "--output_dir", str(solo), "--max_streams", "1",
+        "--allow_random_weights", "--num_resblock", "2",
+    ])
+    for f in sorted(os.listdir(solo / "slow")):
+        a = cv2.imread(str(out / "slow" / f))
+        b = cv2.imread(str(solo / "slow" / f))
+        np.testing.assert_array_equal(a, b)

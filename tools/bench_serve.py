@@ -12,7 +12,10 @@ Usage: python tools/bench_serve.py [B] [H W]   (defaults 4 144 180)
        python tools/bench_serve.py mixed       (two-geometry fan-out tick:
          4x 144x180 + 2x 270x480 slots, the MultiGeometryServer dispatch
          pattern — both bucket steps issued back-to-back, one sync)
-Prints one JSON line.
+       python tools/bench_serve.py coldstart [B H W]  (cold-attach-to-first-
+         frame latency: lazy attach vs prewarm, across two processes sharing
+         a fresh persistent compilation cache — run 2 shows the cache win)
+Prints one JSON line (coldstart: one per process run).
 """
 
 from __future__ import annotations
@@ -85,9 +88,96 @@ def main_mixed() -> None:
     }))
 
 
+def _coldstart_child(b: int, h: int, w: int) -> None:
+    """One process's cold-attach measurement (VERDICT r3 #3).
+
+    lazy_first_tick_s: MultiGeometryServer with NO prewarm — wall time of
+    the first stream's first tick (XLA compile lands inside the tick).
+    prewarm_s + warmed_first_tick_ms: a second, fresh server at the same
+    geometry — the compile happens in prewarm(), off the serving path
+    (within this process it may also hit the in-memory/persistent caches;
+    the parent's second run shows the pure persistent-cache effect).
+    """
+    import time
+
+    from tecogan_tpu.serve import MultiGeometryServer
+    from tecogan_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    cfg = TecoConfig(num_resblock=16, compute_dtype="bfloat16")
+    dtype = jnp.dtype(cfg.compute_dtype)
+    generator = Generator(num_resblock=cfg.num_resblock,
+                          channels=cfg.gen_channels, dtype=dtype)
+    fnet = FNet(channels=cfg.fnet_channels, up_channels=cfg.fnet_up_channels,
+                max_velocity=cfg.flow_max_velocity, dtype=dtype)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    gp = generator.init(k1, jnp.zeros((1, h, w, 51)))["params"]
+    fp = fnet.init(k2, jnp.zeros((1, h, w, 6)))["params"]
+    frame = (np.random.RandomState(0).rand(h, w, 3) * 255).astype(np.uint8)
+
+    lazy = MultiGeometryServer(cfg, gp, fp, slots_per_geometry=b)
+    lazy.open("s0", h, w)
+    t0 = time.perf_counter()
+    lazy.step({"s0": frame}, fetch=True)
+    lazy_first = time.perf_counter() - t0
+
+    warm = MultiGeometryServer(cfg, gp, fp, slots_per_geometry=b)
+    t0 = time.perf_counter()
+    warm.prewarm([(h, w)])
+    prewarm_s = time.perf_counter() - t0
+    warm.open("s0", h, w)
+    t0 = time.perf_counter()
+    warm.step({"s0": frame}, fetch=True)
+    warmed_first = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "serving_cold_attach",
+        "value": round(lazy_first, 2),
+        "unit": "s to first frame (lazy, compile in-tick)",
+        "prewarm_s": round(prewarm_s, 2),
+        "warmed_first_tick_ms": round(warmed_first * 1e3, 1),
+        "slots": b, "geometry": f"{h}x{w}",
+    }))
+
+
+def main_coldstart(b: int, h: int, w: int) -> None:
+    """Two child processes sharing a FRESH persistent compilation cache:
+    run 1 pays the real XLA compiles (and writes the cache); run 2 is the
+    restarted-server case — its 'compiles' deserialize from disk."""
+    import subprocess
+    import tempfile
+
+    cache = tempfile.mkdtemp(prefix="teco_xla_cache_")
+    env = dict(_os.environ, TECOGAN_COMPILE_CACHE_DIR=cache,
+               TECO_COLDSTART_CHILD="1")
+    for run in ("cold_cache", "warm_cache"):
+        p = subprocess.run(
+            [sys.executable, _os.path.abspath(__file__), "coldstart",
+             str(b), str(h), str(w)],
+            env=env, capture_output=True, text=True, timeout=1800)
+        for line in p.stdout.splitlines():
+            if '"serving_cold_attach"' in line:
+                rec = json.loads(line)
+                rec["run"] = run
+                print(json.dumps(rec))
+                break
+        else:
+            print(f"{run}: child failed rc={p.returncode}\n{p.stderr[-2000:]}")
+            return
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "mixed":
         main_mixed()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "coldstart":
+        b = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        h = int(sys.argv[3]) if len(sys.argv) > 3 else 144
+        w = int(sys.argv[4]) if len(sys.argv) > 4 else 180
+        if _os.environ.get("TECO_COLDSTART_CHILD"):
+            _coldstart_child(b, h, w)
+        else:
+            main_coldstart(b, h, w)
         return
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     h = int(sys.argv[2]) if len(sys.argv) > 2 else 144
