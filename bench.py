@@ -64,7 +64,10 @@ def main() -> None:
 
     sr = StreamingSR(cfg, gen_params, fnet_params, output="uint8")
 
-    device_fps = sr.device_fps(frames, reps=5)
+    # Median of >= 3 synced passes + min/max spread (VERDICT r3 #6): the
+    # tunnel adds run-to-run variance a single number cannot attribute.
+    fps_samples = sorted(sr.device_fps_samples(frames, reps=3, passes=5))
+    device_fps = float(np.median(fps_samples))
 
     # Hardware-absolute accounting: XLA's own FLOP count for one recurrent
     # frame step (fnet -> flow upscale -> warp -> generator), batch 1.
@@ -95,13 +98,15 @@ def main() -> None:
     try:
         streams = np.stack([frames] * 4)
         sr4 = StreamingSR(cfg, gen_params, fnet_params, output="uint8")
-        multi_fps = sr4.device_fps_batched(streams, reps=3)
+        multi_fps = float(np.median(
+            sr4.device_fps_batched_samples(streams, reps=2, passes=3)))
     except Exception:
         multi_fps = -1.0
     try:
         streams8 = np.stack([frames] * 8)
         sr8 = StreamingSR(cfg, gen_params, fnet_params, output="uint8")
-        multi_fps8 = sr8.device_fps_batched(streams8, reps=3)
+        multi_fps8 = float(np.median(
+            sr8.device_fps_batched_samples(streams8, reps=2, passes=3)))
     except Exception:
         multi_fps8 = -1.0
 
@@ -159,6 +164,9 @@ def main() -> None:
         "metric": "vid4_calendar_4x_streaming",
         "value": round(device_fps, 1),
         "unit": "frames/sec/chip",
+        "spread": {"passes": len(fps_samples),
+                   "min": round(fps_samples[0], 1),
+                   "max": round(fps_samples[-1], 1)},
         "vs_baseline": round(device_fps / REF_GPU_FPS, 2),
         "vs_baseline_estimated": True,  # REF_GPU_FPS is assumed (BASELINE.md)
         "model_gflops_per_frame": round(gflops_per_frame, 1),

@@ -42,11 +42,14 @@ def main() -> None:
     # would measure the tunnel (see BENCH notes in bench.py).
     frames = np.random.RandomState(0).rand(chunk, H, W, 3).astype(np.float32)
     sr = StreamingSR(cfg, gen_params, fnet_params, output="uint8")
-    fps = sr.device_fps(frames, reps=3)
+    samples = sorted(sr.device_fps_samples(frames, reps=2, passes=3))
     print(json.dumps({
         "metric": "long_stream_540p_to_2160p",
-        "value": round(fps, 2),
+        "value": round(float(np.median(samples)), 2),
         "unit": "frames/sec/chip",
+        "spread": {"passes": len(samples),
+                   "min": round(samples[0], 2),
+                   "max": round(samples[-1], 2)},
         "frames": frames_n,
         "note": "O(1) HBM state per frame; sequence length unbounded",
     }))

@@ -421,10 +421,15 @@ class StreamingSR:
         hrs = np.concatenate(outs, axis=1)
         return hrs[:, warmup:], elapsed
 
-    def device_fps_batched(self, streams: np.ndarray, reps: int = 3) -> float:
-        """Aggregate device throughput over B concurrent streams
-        ((B, T, h, w, 3) input); counts B*T frames per pass."""
-        bsz, t, h, w, _ = streams.shape
+    # -------------------------------------------------------------- bench
+    def _fps_samples(self, lr, bsz: int, frames_per_pass: int,
+                     h: int, w: int, reps: int, passes: int):
+        """Shared timing core: ``passes`` synced measurements of ``reps``
+        chained chunk executions each; returns one fps sample per pass
+        (median/min/max across passes is the run-to-run spread a single
+        number hides — VERDICT r3 #6). Syncs via a dependent scalar fetch
+        (reliable even where ``block_until_ready`` is a no-op, e.g.
+        tunneled backends)."""
         if self._chunk_fn is None:
             self._chunk_fn = self._build_chunk_fn()
         chunk_fn = self._chunk_fn
@@ -434,50 +439,44 @@ class StreamingSR:
             state, hr = chunk_fn(gen_params, fnet_params, state, lr_chunk)
             return state, jnp.sum(hr.astype(jnp.float32))
 
-        lr = jnp.asarray(streams.transpose(1, 0, 2, 3, 4), self.dtype)
         state = init_state(bsz, h, w, self.dtype)
         compiled = step.lower(
             self.gen_params, self.fnet_params, state, lr).compile()
-        for _ in range(2):
-            state, s = compiled(self.gen_params, self.fnet_params, state, lr)
-            float(jax.device_get(s))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            state, s = compiled(self.gen_params, self.fnet_params, state, lr)
-        float(jax.device_get(s))
-        dt = (time.perf_counter() - t0) / reps
-        return bsz * t / dt
-
-    # -------------------------------------------------------------- bench
-    def device_fps(self, frames: np.ndarray, reps: int = 5) -> float:
-        """Sustained device throughput (frames/sec) of the streaming engine
-        (the same chunk fn :meth:`run` uses).
-
-        Uploads the LR sequence once, then repeatedly processes it with the
-        recurrent state chained between reps; syncs via a dependent scalar
-        fetch (reliable even where ``block_until_ready`` is a no-op, e.g.
-        tunneled backends).
-        """
-        t, h, w, _ = frames.shape
-        if self._chunk_fn is None:
-            self._chunk_fn = self._build_chunk_fn()
-        chunk_fn = self._chunk_fn
-
-        @jax.jit
-        def step(gen_params, fnet_params, state, lr_chunk):
-            state, hr = chunk_fn(gen_params, fnet_params, state, lr_chunk)
-            return state, jnp.sum(hr.astype(jnp.float32))
-
-        lr = jnp.asarray(frames[:, None], self.dtype)
-        state = init_state(1, h, w, self.dtype)
-        compiled = step.lower(self.gen_params, self.fnet_params, state, lr).compile()
         # Warm up twice: first execution pays one-off backend initialization.
         for _ in range(2):
             state, s = compiled(self.gen_params, self.fnet_params, state, lr)
             float(jax.device_get(s))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            state, s = compiled(self.gen_params, self.fnet_params, state, lr)
-        float(jax.device_get(s))  # chained state serializes the reps
-        dt = (time.perf_counter() - t0) / reps
-        return t / dt
+        samples = []
+        for _ in range(max(1, passes)):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                state, s = compiled(self.gen_params, self.fnet_params,
+                                    state, lr)
+            float(jax.device_get(s))  # chained state serializes the reps
+            dt = (time.perf_counter() - t0) / reps
+            samples.append(frames_per_pass / dt)
+        return samples
+
+    def device_fps_batched_samples(self, streams: np.ndarray, reps: int = 3,
+                                   passes: int = 1):
+        """Aggregate device throughput over B concurrent streams
+        ((B, T, h, w, 3) input); counts B*T frames per rep. Returns one fps
+        sample per pass."""
+        bsz, t, h, w, _ = streams.shape
+        lr = jnp.asarray(streams.transpose(1, 0, 2, 3, 4), self.dtype)
+        return self._fps_samples(lr, bsz, bsz * t, h, w, reps, passes)
+
+    def device_fps_batched(self, streams: np.ndarray, reps: int = 3) -> float:
+        return self.device_fps_batched_samples(streams, reps=reps)[0]
+
+    def device_fps_samples(self, frames: np.ndarray, reps: int = 5,
+                           passes: int = 1):
+        """Sustained device throughput (frames/sec) of the streaming engine
+        (the same chunk fn :meth:`run` uses); the LR sequence uploads once,
+        the recurrent state chains between reps. One fps sample per pass."""
+        t, h, w, _ = frames.shape
+        lr = jnp.asarray(frames[:, None], self.dtype)
+        return self._fps_samples(lr, 1, t, h, w, reps, passes)
+
+    def device_fps(self, frames: np.ndarray, reps: int = 5) -> float:
+        return self.device_fps_samples(frames, reps=reps)[0]

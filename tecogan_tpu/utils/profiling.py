@@ -70,14 +70,25 @@ class StepTimer:
         self._steps = 0
 
 
-def device_time(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Steady-state seconds per call of a jitted ``fn`` (sync via fetch)."""
+def device_time_samples(fn: Callable, *args, iters: int = 10,
+                        warmup: int = 2, passes: int = 1) -> list:
+    """``passes`` synced measurements of ``iters`` calls each; one
+    seconds-per-call sample per pass (median/min/max across passes is the
+    run-to-run spread a single number hides)."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
     sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+    samples = []
+    for _ in range(max(1, passes)):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        samples.append((time.perf_counter() - t0) / iters)
+    return samples
+
+
+def device_time(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Steady-state seconds per call of a jitted ``fn`` (sync via fetch)."""
+    return device_time_samples(fn, *args, iters=iters, warmup=warmup)[0]

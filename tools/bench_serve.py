@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.models import FNet, Generator
 from tecogan_tpu.serve import VSRServer
-from tecogan_tpu.utils.profiling import device_time
+from tecogan_tpu.utils.profiling import device_time_samples
 
 
 def make_server(cfg, h, w, b):
@@ -77,13 +77,18 @@ def main_mixed() -> None:
         return new_states, sum(outs)
 
     states = [st for _, st in ticks]
-    secs = device_time(jax.jit(fan_out), states, iters=20, warmup=3)
+    samples = sorted(device_time_samples(jax.jit(fan_out), states,
+                                         iters=10, warmup=3, passes=3))
+    secs = samples[len(samples) // 2]
     slots = sum(b for _, _, b in buckets)
     print(json.dumps({
         "metric": "serving_tick_mixed_geometry",
         "value": round(slots / secs, 1),
         "unit": "frames/sec/chip aggregate",
         "tick_ms": round(secs * 1e3, 2),
+        "spread": {"passes": len(samples),
+                   "tick_ms_min": round(samples[0] * 1e3, 2),
+                   "tick_ms_max": round(samples[-1] * 1e3, 2)},
         "buckets": [f"{b}x {h}x{w}" for h, w, b in buckets],
     }))
 
@@ -198,12 +203,17 @@ def main() -> None:
         return new_state, out
 
     tick = jax.jit(tick)  # no donation: reuse the same state arg across iters
-    secs = device_time(tick, state, iters=20, warmup=3)
+    samples = sorted(device_time_samples(tick, state,
+                                         iters=10, warmup=3, passes=3))
+    secs = samples[len(samples) // 2]
     print(json.dumps({
         "metric": "serving_tick",
         "value": round(b / secs, 1),
         "unit": "frames/sec/chip aggregate",
         "tick_ms": round(secs * 1e3, 2),
+        "spread": {"passes": len(samples),
+                   "tick_ms_min": round(samples[0] * 1e3, 2),
+                   "tick_ms_max": round(samples[-1] * 1e3, 2)},
         "slots": b,
         "geometry": f"{h}x{w}->{4*h}x{4*w}",
     }))
