@@ -66,7 +66,7 @@ def _stencil_matrix(n: int, filter_: str) -> np.ndarray:
 
 
 def _matmul_kernel(sh_ref, sw_ref, x_ref, o_ref):
-    """One channel plane: o = Sh @ x @ Sw, f32 accumulation on the MXU."""
+    """One (plane, H-band): o_band = Sh_band @ x @ Sw, f32 accum on the MXU."""
     x = x_ref[0]
     hi = jnp.dot(sh_ref[:], x, preferred_element_type=jnp.float32)
     o_ref[0] = jnp.dot(
@@ -74,20 +74,56 @@ def _matmul_kernel(sh_ref, sw_ref, x_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # headroom under the 16 MB scoped default
+
+
+def _band_h(h: int, w: int, itemsize: int):
+    """Largest H-band ``hb`` (a divisor of ``h``, 4*hb sublane-aligned) whose
+    working set fits VMEM — big frames (540p->2160p: a 16.6 MB output plane
+    alone) are banded over output rows, each Sh row-band used exactly once
+    (no redundant compute; x and Sw stay resident across bands). Returns
+    None when even the thinnest aligned band exceeds the budget."""
+    def fits(hb: int) -> bool:
+        bytes_ = itemsize * (h * w          # x plane
+                             + w * 4 * w    # Sw
+                             + 4 * hb * h   # Sh band
+                             + 4 * hb * 4 * w)  # out band
+        return bytes_ + 4 * (4 * hb * w) <= _VMEM_BUDGET  # + f32 hi band
+
+    if fits(h):
+        return h  # single block: no banding, no alignment constraint
+    for hb in sorted((d for d in range(1, h) if h % d == 0), reverse=True):
+        # Multi-band blocks start at dynamic sublane offsets, which Mosaic
+        # requires 8-aligned: 4*hb % 8 == 0.
+        if (4 * hb) % 8 == 0 and fits(hb):
+            return hb
+    return None
+
+
 def _plane_call(planes: jnp.ndarray, sh, sw) -> jnp.ndarray:
     n, h, w = planes.shape
+    hb = _band_h(h, w, planes.dtype.itemsize)
+    if hb is None:  # no aligned band fits: XLA handles the tiling
+        raise _NoBand()
     return pl.pallas_call(
         _matmul_kernel,
-        grid=(n,),
+        grid=(n, h // hb),
         in_specs=[
-            pl.BlockSpec((4 * h, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, 4 * w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * hb, h), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 4 * w), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4 * h, 4 * w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 4 * hb, 4 * w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 4 * h, 4 * w), planes.dtype),
     )(sh, sw, planes)
+
+
+class _NoBand(Exception):
+    """No VMEM-fitting band exists; callers fall back to the XLA path."""
 
 
 def _down_kernel(sh_ref, sw_ref, g_ref, o_ref):
@@ -102,6 +138,17 @@ def _down_kernel(sh_ref, sw_ref, g_ref, o_ref):
 def _plane_call_down(grads: jnp.ndarray, sh, sw) -> jnp.ndarray:
     n, h4, w4 = grads.shape
     h, w = h4 // 4, w4 // 4
+    # Single-block working set: g plane + Sw + Sh + dx (+ f32 hi).
+    bytes_ = grads.dtype.itemsize * (4 * h * 4 * w + w * 4 * w + 4 * h * h
+                                     + h * w) + 4 * (h * 4 * w)
+    if bytes_ > _VMEM_BUDGET:
+        # Big-frame backward (the VJP only runs in training, whose crops are
+        # tiny; this path exists for completeness): XLA tiles the transposed
+        # stencil matmuls itself.
+        hi = jnp.einsum("hk,nkv->nhv", sh.T.astype(jnp.float32),
+                        grads.astype(jnp.float32))
+        return jnp.einsum("nhv,vw->nhw", hi,
+                          sw.T.astype(jnp.float32)).astype(grads.dtype)
     return pl.pallas_call(
         _down_kernel,
         grid=(n,),
@@ -131,10 +178,14 @@ def _mats(h, w, filter_, dtype):
 
 def _upsample4_fwd(x, filter_):
     b, h, w, c = x.shape
-    sh, sw = _mats(h, w, filter_, x.dtype)
-    planes = x.transpose(0, 3, 1, 2).reshape(b * c, h, w)
-    out = _plane_call(planes, sh, sw)
-    out = out.reshape(b, c, 4 * h, 4 * w).transpose(0, 2, 3, 1)
+    try:
+        sh, sw = _mats(h, w, filter_, x.dtype)
+        planes = x.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+        out = _plane_call(planes, sh, sw)
+        out = out.reshape(b, c, 4 * h, 4 * w).transpose(0, 2, 3, 1)
+    except _NoBand:  # pathological geometry: XLA parity path
+        out = upscale_bilinear(x, 4) if filter_ == "bilinear" \
+            else bicubic_four(x)
     return out, None  # shapes/dtype recoverable from the cotangent
 
 

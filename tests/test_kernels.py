@@ -185,3 +185,43 @@ def test_resblock_chain_paired_auto_dispatch(rng):
     want = R.resblock_chain_xla(x, w1, b1, w2, b2)
     got = R.resblock_chain_paired_auto(x, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_banded_upsample_matches_xla(rng, monkeypatch):
+    """Big-frame H-banding (VERDICT r3 #4: 540p->2160p output planes exceed
+    the 16 MB scoped VMEM): shrink the budget so a small frame bands, and
+    check band selection + numerics against the XLA oracle."""
+    import tecogan_tpu.kernels.upsample4 as m
+
+    # Band selection: 540x960 bf16 must band under the real budget...
+    hb = m._band_h(540, 960, 2)
+    assert hb is not None and hb < 540 and 540 % hb == 0 and (4 * hb) % 8 == 0
+    # ...small frames stay single-block; impossible budgets return None.
+    assert m._band_h(144, 180, 2) == 144
+    monkeypatch.setattr(m, "_VMEM_BUDGET", 1)
+    assert m._band_h(32, 40, 4) is None
+
+    # Numerics through the banded grid (budget forcing h=32 -> 4 bands).
+    monkeypatch.setattr(m, "_VMEM_BUDGET", 70_000)
+    assert m._band_h(32, 40, 4) == 8
+    patch, m2 = _pallas_fns(interpret=True)
+    x = jnp.asarray(rng.rand(2, 32, 40, 2).astype(np.float32))
+    with patch:
+        got = np.asarray(m2._upsample4_pallas(x, "bilinear"))
+    want = np.asarray(upscale_bilinear(x, 4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # No fitting band at all -> the forward silently uses the XLA path.
+    monkeypatch.setattr(m, "_VMEM_BUDGET", 1)
+    with patch:
+        got = np.asarray(m2._upsample4_pallas(x, "bilinear"))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # Oversize backward routes through the XLA einsum transpose.
+    g = jax.grad(lambda v: float(0) + jnp.sum(
+        jnp.sin(m2._upsample4_pallas(v, "bilinear"))))
+    g_xla = jax.grad(lambda v: jnp.sum(jnp.sin(upscale_bilinear(v, 4))))
+    with patch:
+        got_g = np.asarray(g(x))
+    np.testing.assert_allclose(got_g, np.asarray(g_xla(x)),
+                               rtol=1e-4, atol=1e-5)
