@@ -250,15 +250,98 @@ class WireCube(ProceduralScene):
             _fill_quad(frame, uv[list(f)], (shade, 0.3, 0.9 - 0.07 * k))
 
 
+class SlidingPatch(ProceduralScene):
+    """The 'TestSceneRender' role (reference tst_scene_render.py): a
+    foreground patch sliding sinusoidally over a static textured background,
+    with the patch's ground-truth rect queryable per frame — fixtures that
+    need known motion (flow/warp assertions) read :meth:`current_rect`.
+
+    Motion model matches the reference's: offsets ``amplitude * cos/sin
+    (speed * t)`` around the centered rest position, full-amplitude so the
+    patch sweeps the frame without leaving it.
+    """
+
+    def __init__(self, patch_frac: float = 0.25, speed: float = 0.25, **kw):
+        super().__init__(**kw)
+        self.speed = speed
+        ph = max(4, int(self.h * patch_frac))
+        pw = max(4, int(self.w * patch_frac))
+        # procedural textures: smooth background, high-contrast patch
+        yy, xx = np.meshgrid(np.arange(self.h), np.arange(self.w),
+                             indexing="ij")
+        self._bg = np.stack([
+            0.3 + 0.2 * np.sin(2 * np.pi * xx / self.w * 3),
+            0.3 + 0.2 * np.sin(2 * np.pi * yy / self.h * 2),
+            0.45 + 0.1 * np.cos(2 * np.pi * (xx + yy) / (self.h + self.w)),
+        ], axis=-1).astype(np.float32)
+        py, px = np.meshgrid(np.arange(ph), np.arange(pw), indexing="ij")
+        self._patch = np.stack([
+            ((py // 4 + px // 4) % 2).astype(np.float32) * 0.7 + 0.15,
+            0.2 + 0.6 * (px / max(1, pw - 1)).astype(np.float32),
+            0.8 - 0.6 * (py / max(1, ph - 1)).astype(np.float32),
+        ], axis=-1)
+        self._rest = ((self.h - ph) // 2, (self.w - pw) // 2)
+        self._ampl = (self._rest[0], self._rest[1])  # keep patch in-frame
+
+    def _offset(self, t: int):
+        return (int(self._ampl[0] * np.cos(t * self.speed)),
+                int(self._ampl[1] * np.sin(t * self.speed)))
+
+    def current_rect(self, t: Optional[int] = None) -> np.ndarray:
+        """(y0, x0, y1, x1) of the patch at time ``t`` (default: the frame
+        :meth:`read` would produce next) — the reference's getCurrentRect/
+        getRectInTime contract."""
+        t = self.t if t is None else t
+        dy, dx = self._offset(t)
+        ph, pw = self._patch.shape[:2]
+        y0, x0 = self._rest[0] + dy, self._rest[1] + dx
+        return np.array([y0, x0, y0 + ph, x0 + pw])
+
+    def _draw(self, frame, t):
+        frame[:] = self._bg
+        y0, x0, y1, x1 = self.current_rect(t)
+        frame[y0:y1, x0:x1] = self._patch
+
+
+def _parse_synth(source: str) -> dict:
+    """Parse the reference's ``synth:`` source grammar
+    (lib/data/video.py:21-27: ``synth:class=chess:noise=0.1:size=WxH``)."""
+    params: dict = {}
+    for part in source.split(":")[1:]:
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        if k == "size":
+            w, h = v.split("x")
+            params["width"], params["height"] = int(w), int(h)
+        elif k == "noise":
+            params["noise"] = float(v)
+        elif k == "class":
+            params["class"] = v
+        elif k == "seed":
+            params["seed"] = int(v)
+    return params
+
+
+_SCENES = {"chess": CheckerPlane, "book": TexturedQuad, "cube": WireCube,
+           "patch": SlidingPatch}
+
+
 def create_capture(source=None, height: int = 240, width: int = 320,
                    seed: int = 0):
     """Open a video source with a procedural fallback (the reference's
     create_capture contract, lib/data/video.py:176-206): an int/path opens
-    cv2.VideoCapture; the strings 'chess'/'book'/'cube' (or a failed real
-    open) return the corresponding procedural scene."""
-    scenes = {"chess": CheckerPlane, "book": TexturedQuad, "cube": WireCube}
-    if isinstance(source, str) and source.lower() in scenes:
-        return scenes[source.lower()](height=height, width=width, seed=seed)
+    cv2.VideoCapture; the strings 'chess'/'book'/'cube'/'patch' or a
+    ``synth:class=...:noise=...:size=WxH`` spec (or a failed real open)
+    return the corresponding procedural scene."""
+    if isinstance(source, str) and source.startswith("synth:"):
+        p = _parse_synth(source)
+        cls = _SCENES.get(p.pop("class", "chess"), CheckerPlane)
+        return cls(height=p.pop("height", height),
+                   width=p.pop("width", width),
+                   seed=p.pop("seed", seed), **p)
+    if isinstance(source, str) and source.lower() in _SCENES:
+        return _SCENES[source.lower()](height=height, width=width, seed=seed)
     import cv2
 
     cap = cv2.VideoCapture(source if source is not None else 0)

@@ -223,3 +223,34 @@ def test_procedural_scene_classes():
     ok, frame = cap.read()
     assert ok and frame.dtype == np.uint8 and cap.isOpened()
     cap.release()
+
+
+def test_sliding_patch_and_synth_spec():
+    """TestSceneRender-role source (reference tst_scene_render.py): the
+    foreground patch's ground-truth rect must match its rendered position
+    every frame, and the reference's synth: source grammar must parse
+    (lib/data/video.py:21-27,158-165)."""
+    from tecogan_tpu.data.synthetic import SlidingPatch, create_capture
+
+    sc = SlidingPatch(height=96, width=128, seed=3)
+    for _ in range(8):
+        rect = sc.current_rect()
+        ok, frame = sc.read()
+        assert ok
+        y0, x0, y1, x1 = rect
+        # The patch region differs from the background; its checker texture
+        # has high variance while the background is smooth there.
+        inside = frame[y0:y1, x0:x1].astype(np.float32)
+        assert inside.std() > 10.0
+    # Rect stays in-frame over a full period.
+    rects = np.array([sc.current_rect(t) for t in range(60)])
+    assert rects[:, 0].min() >= 0 and rects[:, 1].min() >= 0
+    assert rects[:, 2].max() <= 96 and rects[:, 3].max() <= 128
+    assert np.ptp(rects[:, 0]) > 10 and np.ptp(rects[:, 1]) > 10  # it moves
+
+    cap = create_capture("synth:class=patch:size=64x48:noise=0.05:seed=2")
+    ok, frame = cap.read()
+    assert ok and frame.shape == (48, 64, 3) and frame.dtype == np.uint8
+    assert cap.noise == 0.05
+    cap2 = create_capture("synth:class=cube:size=32x40")
+    assert type(cap2).__name__ == "WireCube" and cap2.h == 40 and cap2.w == 32

@@ -9,8 +9,9 @@ stride-4 input conv, carry LR flow in the scan (16x smaller xs slices).
 Isolated benches mislead on this backend (CLAUDE.md) — every variant here
 is the REAL chunk step measured via StreamingSR.device_fps.
 
-Usage: python tools/headline_ablate.py [reps] [variant ...]
-(variant names filter the sweep; default = all)
+Usage: python tools/headline_ablate.py [reps] [--hw H W] [--chunk C] [variant ...]
+(variant names filter the sweep; default = all. --hw re-targets the sweep
+at another geometry, e.g. --hw 540 960 --chunk 12 for the 2160p config)
 """
 
 from __future__ import annotations
@@ -38,10 +39,19 @@ def main() -> None:
     from tecogan_tpu.models import layers
     from tecogan_tpu.recurrent.inference import StreamingSR
 
-    h, w, frames_n = 144, 180, 46
+    h, w, frames_n, chunk = 144, 180, 46, 23
+    if "--hw" in argv:
+        i = argv.index("--hw")
+        h, w = int(argv[i + 1]), int(argv[i + 2])
+        del argv[i:i + 3]
+    if "--chunk" in argv:
+        i = argv.index("--chunk")
+        chunk = int(argv[i + 1])
+        del argv[i:i + 2]
+        frames_n = 2 * chunk
     dtype = jnp.bfloat16
     base_cfg = TecoConfig(num_resblock=16, compute_dtype="bfloat16",
-                          infer_chunk=23)
+                          infer_chunk=chunk)
     gen = Generator(num_resblock=16, channels=64, dtype=dtype)
     fnet = FNet(channels=base_cfg.fnet_channels,
                 up_channels=base_cfg.fnet_up_channels,

@@ -42,17 +42,25 @@ def main() -> None:
     gp = generator.init(k1, jnp.zeros((1, h, w, 51)))["params"]
     fp = fnet.init(k2, jnp.zeros((1, h, w, 6)))["params"]
 
+    # --no-parity: skip the full-HR download parity check (2160p HR chunks
+    # are ~300 MB through this harness's tunnel; op-level parity is golden-
+    # tested and the small-geometry A/B checks end-to-end parity).
+    parity = "--no-parity" not in sys.argv
     frames = np.random.RandomState(0).rand(chunk, h, w, 3).astype(np.float32)
     out = {}
     hr = {}
     for mode in ("off", "on"):
         cfg = base.replace(pallas_flow_upsample=mode)
         sr = StreamingSR(cfg, gp, fp, output="uint8")
-        out[mode] = round(sr.device_fps(frames, reps=3), 2)
-        hr[mode], _ = sr.run(frames)
-    diff = np.abs(hr["off"].astype(int) - hr["on"].astype(int))
-    out["max_u8_diff"] = int(diff.max())
-    out["frac_gt1"] = float(np.mean(diff > 1))
+        samples = sorted(sr.device_fps_samples(frames, reps=2, passes=3))
+        out[mode] = round(samples[len(samples) // 2], 2)
+        out[f"{mode}_spread"] = [round(samples[0], 2), round(samples[-1], 2)]
+        if parity:
+            hr[mode], _ = sr.run(frames)
+    if parity:
+        diff = np.abs(hr["off"].astype(int) - hr["on"].astype(int))
+        out["max_u8_diff"] = int(diff.max())
+        out["frac_gt1"] = float(np.mean(diff > 1))
     print(json.dumps(out))
 
 
