@@ -189,6 +189,29 @@ def _generator_tail(p, net, lr, num_resblock):
     return preprocess(net)
 
 
+def generator_apply_plain(params, x, num_resblock: int = 16):
+    """Pure-pytree replica of :class:`Generator`'s apply (XLA convs
+    throughout; the upsample stage honors ``_CONVTRAN_MODE``).
+
+    Exists so the transposed-conv strategy can be A/B'd inside the real
+    streaming scan on geometries where the folded-input fast paths are
+    inactive (2160p: ``fold_input_s2d`` auto is off there) — the flax module
+    pins ``lax.conv_transpose`` and cannot switch. Takes the SAME param tree
+    as :class:`Generator`; bit-identical to the flax apply at
+    ``_CONVTRAN_MODE="direct"`` (tests/test_models.py).
+    """
+    p = params
+    lr = x[..., :3]
+    k = p["input_stage_conv"]["kernel"].astype(x.dtype)
+    b = p["input_stage_conv"]["bias"].astype(x.dtype)
+    with jax.named_scope("input_stage_conv"):
+        net = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    net = jax.nn.relu(net + b)
+    return _generator_tail(p, net, lr, num_resblock)
+
+
 def generator_apply_fused(params, x, num_resblock: int = 16):
     """Pure-pytree generator forward with the residual trunk fused into
     Pallas launches (kernels/resblocks.py pair-packed chain; whole-image in

@@ -119,6 +119,7 @@ def assemble_dst_inputs(
     flow_hr_back: jnp.ndarray = None,
     skip_identity_warp: bool = True,
     box_warp: bool = True,
+    merge_rf: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build the real/fake temporal-discriminator inputs.
 
@@ -225,45 +226,51 @@ def assemble_dst_inputs(
         t_vel = t_vel.astype(jnp.float32).reshape(b * t_size, vel_h, vel_w, 2)
     t_vel = jax.lax.stop_gradient(t_vel)  # no D gradient into fnet (Teco.py:214)
 
-    def build(frames_flat: jnp.ndarray) -> jnp.ndarray:
+    def warp_members(frames_flat: jnp.ndarray) -> jnp.ndarray:
+        """Warp the triplet members toward the middle frame.
+
+        (b*t_size, H, W, cm) -> (TB, 3, Hm, Wm, cm) where Hm=Wm=crop on the
+        box path, else the full frame. Channel count ``cm`` is free: the warp
+        treats channels independently (one set of gather indices + lerp
+        weights for all of them), which is what makes the merged real+fake
+        warp below bit-identical to two separate warps.
+        """
+        cm = frames_flat.shape[-1]
+        trips = frames_flat.reshape(t_batch, 3, hr_h, hr_w, cm)
         if use_box:
             # Warp only the crop box (gathering from the full frames); the
             # box is then zero-padded back (dt_mergeDs) or IS the D input
             # (pure Dt) — reference Teco.py:216-220,230-234.
-            trips = frames_flat.reshape(t_batch, 3, hr_h, hr_w, c)
             if skip_identity_warp:
-                edges = trips[:, 0::2].reshape(t_batch * 2, hr_h, hr_w, c)
+                edges = trips[:, 0::2].reshape(t_batch * 2, hr_h, hr_w, cm)
                 we = dense_image_warp_box(edges, t_vel, (off, off))
-                we = we.reshape(t_batch, 2, crop, crop, c)
+                we = we.reshape(t_batch, 2, crop, crop, cm)
                 mid = trips[:, 1:2, off : off + crop, off : off + crop]
-                boxed = jnp.concatenate([we[:, :1], mid, we[:, 1:]], axis=1)
-            else:
-                we = dense_image_warp_box(frames_flat, t_vel, (off, off))
-                boxed = we.reshape(t_batch, 3, crop, crop, c)
-            warped9 = _triplet_channels_grouped(boxed)
-            if not config.dt_mergeDs:
-                return None, warped9
+                return jnp.concatenate([we[:, :1], mid, we[:, 1:]], axis=1)
+            we = dense_image_warp_box(frames_flat, t_vel, (off, off))
+            return we.reshape(t_batch, 3, crop, crop, cm)
+        if skip_identity_warp:
+            edges = trips[:, 0::2].reshape(t_batch * 2, hr_h, hr_w, cm)
+            we = dense_image_warp(edges, t_vel)
+            we = we.reshape(t_batch, 2, hr_h, hr_w, cm)
+            return jnp.concatenate([we[:, :1], trips[:, 1:2], we[:, 1:]], axis=1)
+        warped = dense_image_warp(frames_flat, t_vel)
+        return warped.reshape(t_batch, 3, hr_h, hr_w, cm)
+
+    def finalize(members: jnp.ndarray, frames_flat: jnp.ndarray):
+        """(TB, 3, Hm, Wm, c) warped members -> (before9, warped9)."""
+        warped9 = _triplet_channels_grouped(members)
+        if not config.dt_mergeDs:
+            # Pure Dt: crop without re-padding (Teco.py:230-231,265-266).
+            if config.crop_dt < 1.0 and not use_box:
+                warped9 = warped9[:, off : off + crop, off : off + crop, :]
+            return None, warped9
+        if use_box:
             warped9 = jnp.pad(
                 warped9,
                 ((0, 0), (off, hr_h - off - crop),
                  (off, hr_w - off - crop), (0, 0)))
-        elif skip_identity_warp:
-            trips = frames_flat.reshape(t_batch, 3, hr_h, hr_w, c)
-            edges = trips[:, 0::2].reshape(t_batch * 2, hr_h, hr_w, c)
-            we = dense_image_warp(edges, t_vel)
-            we = we.reshape(t_batch, 2, hr_h, hr_w, c)
-            warped9 = _triplet_channels_grouped(
-                jnp.concatenate([we[:, :1], trips[:, 1:2], we[:, 1:]], axis=1)
-            )
-        else:
-            warped = dense_image_warp(frames_flat, t_vel)
-            warped9 = _triplet_channels(warped, t_batch, hr_h, hr_w, c)
-        if not config.dt_mergeDs:
-            # Pure Dt: crop without re-padding (Teco.py:230-231,265-266).
-            if config.crop_dt < 1.0:
-                warped9 = warped9[:, off : off + crop, off : off + crop, :]
-            return None, warped9
-        if not use_box and config.crop_dt < 1.0:
+        elif config.crop_dt < 1.0:
             # Center crop then zero-pad back (reference Teco.py:216-220,230-234).
             mask = jnp.zeros((1, hr_h, hr_w, 1), frames_flat.dtype)
             mask = mask.at[:, off : off + crop, off : off + crop, :].set(1.0)
@@ -271,8 +278,21 @@ def assemble_dst_inputs(
         before9 = _triplet_channels(frames_flat, t_batch, hr_h, hr_w, c)
         return before9, warped9
 
-    before_r, warped_r = build(t_targets)
-    before_f, warped_f = build(t_gen)
+    if merge_rf:
+        # Real and fake triplets are warped by the SAME flows, so one gather
+        # over the channel-concatenated pair fetches both: the gather is
+        # index-rate-bound (~4-6 ns/index on v5e, ops/warp.py), so halving
+        # the index count ~halves the Dst warp family's forward cost. The
+        # backward is unchanged: only the fake channels carry cotangents
+        # (targets are leaves, flows are stop-gradient'd), and the scatter
+        # runs the same index count either way.
+        members = warp_members(jnp.concatenate([t_targets, t_gen], axis=-1))
+        members_r, members_f = members[..., :c], members[..., c:]
+    else:
+        members_r = warp_members(t_targets)
+        members_f = warp_members(t_gen)
+    before_r, warped_r = finalize(members_r, t_targets)
+    before_f, warped_f = finalize(members_f, t_gen)
     if not config.dt_mergeDs:
         return warped_r, warped_f
 

@@ -157,6 +157,33 @@ def test_generator_apply_fused_matches_flax(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_generator_apply_plain_matches_flax(rng):
+    """Pure-pytree replica (the 2160p convT A/B carrier) == Generator.apply
+    bit-exactly at _CONVTRAN_MODE="direct"; "phase" matches to float eps
+    (exact arithmetic reassociation, ops/convtran.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tecogan_tpu.models import Generator
+    from tecogan_tpu.models import generator as gen_mod
+
+    gen = Generator(num_resblock=3, channels=64)
+    x = jnp.asarray(rng.rand(2, 16, 20, 51).astype(np.float32))
+    p = gen.init(jax.random.PRNGKey(0), x)["params"]
+    want = np.asarray(gen.apply({"params": p}, x))
+    got = np.asarray(gen_mod.generator_apply_plain(p, x, num_resblock=3))
+    np.testing.assert_array_equal(want, got)
+
+    orig = gen_mod._CONVTRAN_MODE
+    try:
+        gen_mod._CONVTRAN_MODE = "phase"
+        got_phase = np.asarray(
+            gen_mod.generator_apply_plain(p, x, num_resblock=3))
+    finally:
+        gen_mod._CONVTRAN_MODE = orig
+    np.testing.assert_allclose(want, got_phase, rtol=2e-5, atol=2e-5)
+
+
 def test_generator_apply_hr_input_matches_flax(rng):
     """s2d folded into a stride-4 HR input conv == flax Generator on
     concat(lr, s2d(warped)) (models/generator.py:generator_apply_hr_input)."""

@@ -81,6 +81,12 @@ def main() -> None:
         # (~0.45 ms/frame as lax.conv_transpose per trace_step).
         "phase_tran": dict(convtran="phase"),
         "tappack+phase": dict(outconv="tappack", convtran="phase"),
+        # Pytree replica of the flax apply (generator_apply_plain) — the
+        # carrier for the convT A/B on geometries where the folded-input
+        # fast paths are off (2160p): the flax module pins
+        # lax.conv_transpose, so "phase_tran" is a no-op there.
+        "plain_tran": dict(gen_path="plain"),
+        "plain+phase": dict(gen_path="plain", convtran="phase"),
     }
     unknown = [a for a in argv if a not in variants]
     if unknown:
@@ -96,9 +102,15 @@ def main() -> None:
         layers._FOLD_THRESHOLD_PIXELS = opts.pop("fold_thresh", orig_thresh)
         layers._OUTCONV_SMALL_MODE = opts.pop("outconv", orig_outconv)
         gen_mod._CONVTRAN_MODE = opts.pop("convtran", orig_convtran)
+        gen_path = opts.pop("gen_path", "flax")
         cfg = base_cfg.replace(**opts) if opts else base_cfg
         try:
             sr = StreamingSR(cfg, gp, fp, output="uint8")
+            if gen_path == "plain":
+                def plain_apply(variables, xin):
+                    return gen_mod.generator_apply_plain(
+                        variables["params"], xin, num_resblock=16)
+                sr._gen_apply = lambda: plain_apply
             fps = sr.device_fps(frames, reps=reps)
         except Exception as exc:  # keep sweeping
             fps = -1.0
