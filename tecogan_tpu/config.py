@@ -124,13 +124,15 @@ class TecoConfig:
     #   conv's input-gradient (a dilated 12x12 conv over the 4x HR frame)
     #   costs more than the s2d transpose pair it removes. Kept as an
     #   option + equality test; default off.
-    pallas_flow_upsample: str = "off"  # 4x flow upsample via the Pallas
+    pallas_flow_upsample: str = "auto"  # 4x flow upsample via the Pallas
     #   banded-matmul kernel (kernels/upsample4.py) instead of XLA's einsum
-    #   form in the streaming step ("off"|"on"). MEASURED NEUTRAL in-scan at
-    #   144x180 (208.1 -> 209.8 fps, within run variance) and VMEM-OOM at
-    #   540x960 (whole-plane blocks: 43 MB > 16 MB scoped limit — the kernel
-    #   needs W-banding before it can even run at 2160p). Outputs differ by
-    #   <= 1 bf16 ulp (tools/upsample_ab.py); default stays XLA.
+    #   form in the streaming step ("off"|"auto"|"on"). In-scan A/B
+    #   (tools/upsample_ab.py, v5e): NEUTRAL at 144x180 (208.1 -> 209.8
+    #   fps, within run variance); at 540x960 the round-4 H-banded kernel
+    #   is a consistent small win — 12.33 -> 12.56 fps at chunk 12, 12.54
+    #   -> 12.65 at chunk 24, spreads +-0.01 — so "auto" enables it on
+    #   TPU for LR frames >= 400k px and keeps XLA's einsum elsewhere.
+    #   Outputs differ by <= 1 bf16 ulp.
     fused_trunk: str = "off"         # Pallas resblock trunk at inference:
     #   "off" = never (default: wins isolated — 38.2 vs 49.6 ms at 540x960 —
     #   but loses ~13 ms/frame inside the streaming scan, where XLA's chain
@@ -174,7 +176,7 @@ class TecoConfig:
         allowed = {
             "inline_flow": ("off", "auto", "on"),
             "fold_input_s2d": ("off", "auto", "on", "patchify"),
-            "pallas_flow_upsample": ("off", "on"),
+            "pallas_flow_upsample": ("off", "auto", "on"),
             "fused_trunk": ("off", "auto", "on"),
         }
         for field, values in allowed.items():

@@ -178,8 +178,19 @@ class StreamingSR:
             return s2d_ok and fold_s2d_active(
                 self.config, lr.shape[1], lr.shape[2])
 
-        up_pallas = (self.config.pallas_flow_upsample == "on"
-                     and spatial_mesh is None)
+        up_mode = self.config.pallas_flow_upsample
+
+        def use_pallas_up(h, w):
+            # Compile-time branch (shapes static at trace time). "auto" =
+            # TPU + LR frames >= 400k px, where the H-banded kernel is a
+            # measured in-scan win (12.54 -> 12.65 fps at 540x960 chunk 24,
+            # spread-separated; neutral at 144x180 — BASELINE.md round 4).
+            if spatial_mesh is not None or up_mode == "off":
+                return False
+            if up_mode == "on":
+                return True
+            from tecogan_tpu.kernels.upsample4 import _on_tpu
+            return h * w >= 400_000 and _on_tpu()
         s2d_mode = s2d_mode_for(self.config)
         flow_mode = self.config.inline_flow
 
@@ -230,7 +241,7 @@ class StreamingSR:
                 # Scan carries the LR flow (16x smaller); the warp upsamples
                 # per tile (ops/warp.py:dense_image_warp_flowlr).
                 flow_x = pad_flow_to(flow_lr, h, w).reshape(t, b, h, w, 2)
-            elif up_pallas:
+            elif use_pallas_up(h, w):
                 from tecogan_tpu.kernels.upsample4 import (
                     upscale_bilinear_pallas,
                 )

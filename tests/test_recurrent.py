@@ -202,3 +202,22 @@ def test_run_on_chunk_streaming_delivery(rng):
     assert starts[0] == 4
     stitched = np.concatenate([got[s] for s in starts], axis=0)
     np.testing.assert_array_equal(stitched, want)
+
+
+def test_pallas_flow_upsample_modes(rng):
+    """"auto" must validate, resolve to the XLA path off-TPU (bit-equal to
+    "off"), and reject unknown spellings (config.py mode validation)."""
+    import pytest
+
+    h, w = 8, 8
+    gen, fnet, gp, fp = make_models(jax.random.PRNGKey(5), h, w)
+    frames = rng.rand(5, h, w, 3).astype(np.float32)
+    outs = {}
+    for mode in ("off", "auto"):
+        cfg = TecoConfig(num_resblock=2, infer_chunk=3,
+                         pallas_flow_upsample=mode)
+        sr = StreamingSR(cfg, gp, fp)
+        outs[mode], _ = sr.run(frames, warmup=1)
+    np.testing.assert_array_equal(outs["off"], outs["auto"])
+    with pytest.raises(ValueError):
+        TecoConfig(pallas_flow_upsample="never")
