@@ -108,15 +108,18 @@ class TecoConfig:
     #   XLA's global coordinate passes are already bandwidth-efficient).
     fold_input_s2d: str = "auto"     # fold the post-warp space-to-depth into
     #   the generator's HR input conv at inference
-    #   ("off"|"auto"|"on"|"patchify"). "auto" = stride-4 fold on mid-size
-    #   frames only (HR 100k..2M px): measured +18% on the headline 576x720
-    #   workload (194 -> 228 fps, tools/headline_ablate.py round 3) and
-    #   +7..20% down to 288x360, but NEGATIVE at 2160p (81.0 -> 89.1
-    #   ms/frame: there the 12x12 stride-4 im2col costs more than the s2d
-    #   it removes). "patchify" = force-on with the s2d done as a
-    #   0/1-selection 4x4-stride-4 conv instead (MXU im2col, bit-identical
-    #   to the flax path). See models/generator.py:generator_apply_hr_input
-    #   and recurrent/inference.py:s2d_mode_for.
+    #   ("off"|"auto"|"on"|"patchify"). "auto" = patchify-mode fold on
+    #   mid-size frames (HR 100k..2.1M px): the s2d as a 0/1-selection
+    #   4x4-stride-4 conv (MXU im2col, bit-identical to the flax path).
+    #   Round-4 in-scan A/B: patchify beats the round-3 stride-4 fold
+    #   everywhere in the band (221.0 -> 235.8 fps at 576x720 HR, 515.6 ->
+    #   586.3 at 384x480, 887.0 -> 929.8 at 288x360) and no-fold at
+    #   1080x1920 (39.7 -> 40.1); stride-4 fold itself was +18% over
+    #   no-fold at 576x720 in round 3 and NEGATIVE at 2160p, which stays
+    #   unfolded. "on" = force the stride-4 fold (round-3 path, kept for
+    #   A/B); "patchify" = force patchify at any geometry. See
+    #   models/generator.py:generator_apply_hr_input and
+    #   recurrent/inference.py:s2d_mode_for.
     train_fold_s2d: bool = False     # fold the recurrent s2d pack into the
     #   stride-4 input conv in the TRAINING unroll too (recurrent/step.py:
     #   unroll_generator fold_input). MEASURED NEGATIVE on v5e (TecoGAN-16

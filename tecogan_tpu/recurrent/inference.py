@@ -61,13 +61,19 @@ _MAX_IN_FLIGHT = 2
 _FUSED_TRUNK_MIN_PIXELS = 250_000
 
 # HR pixel band in which fold_input_s2d="auto" folds the space-to-depth
-# pack into the generator's stride-4 HR input conv. In-scan A/B (round 3,
-# tools/headline_ablate.py + s2d_fold_sweep.py): +18% at 576x720 HR
-# (194 -> 228 fps), +20% at 384x480, +7% at 288x360; NEGATIVE at 2160p
-# (the stride-4 im2col outweighs the removed s2d transpose there). Below
-# ~100k px the op mix is dispatch-bound and the tested default path stays.
+# pack into the generator's HR input conv. In-scan A/B (round 3,
+# tools/headline_ablate.py + s2d_fold_sweep.py): stride-4 fold +18% at
+# 576x720 HR (194 -> 228 fps), +20% at 384x480, +7% at 288x360; NEGATIVE
+# at 2160p (the stride-4 im2col outweighs the removed s2d transpose
+# there). Round 4: the "patchify" s2d mode (the 4x4-stride-4 0/1-
+# selection conv, MXU im2col instead of the VPU lane-interleave) beats
+# the stride-4 fold everywhere in the band — 221.0 -> 235.8 fps at
+# 576x720, 515.6 -> 586.3 at 384x480, 887.0 -> 929.8 at 288x360 — and
+# stays ahead of no-fold at 1080x1920 (39.7 -> 40.1), so "auto" now
+# selects patchify and the band cap includes 1080p. Below ~100k px the
+# op mix is dispatch-bound and the tested default path stays.
 _FOLD_S2D_MIN_HR_PIXELS = 100_000
-_FOLD_S2D_MAX_HR_PIXELS = 2_000_000
+_FOLD_S2D_MAX_HR_PIXELS = 2_100_000
 
 
 def prepend_warmup(frames: List) -> List:
@@ -88,11 +94,22 @@ def fold_s2d_active(config: TecoConfig, h: int, w: int) -> bool:
     return _FOLD_S2D_MIN_HR_PIXELS < hr_px <= _FOLD_S2D_MAX_HR_PIXELS
 
 
-def s2d_mode_for(config: TecoConfig) -> str:
+def s2d_mode_for(config: TecoConfig, batch: int = 1) -> str:
     """The ``generator_apply_hr_input`` s2d mode a config selects (shared
     by the streaming and serving engines; only meaningful where
-    :func:`fold_s2d_active` is True)."""
-    return "patchify" if config.fold_input_s2d == "patchify" else "stride4"
+    :func:`fold_s2d_active` is True). "auto" is batch-aware: patchify for
+    single-stream (B=1, where its MXU im2col wins — see band comment
+    above) but the stride-4 fold for batched runs, where the MXU is
+    already well fed and patchify's 16x-redundant selection MACs cost
+    more than the lane-interleave they remove (B=4 at 144x180: stride4
+    286.9 vs patchify 282.1 vs no-fold 268.7 fps aggregate). "on"/"
+    patchify" force one mode at any batch/geometry for A/B."""
+    mode = config.fold_input_s2d
+    if mode == "on":
+        return "stride4"
+    if mode == "patchify":
+        return "patchify"
+    return "patchify" if batch == 1 else "stride4"
 
 
 class StreamingSR:
@@ -191,7 +208,7 @@ class StreamingSR:
                 return True
             from tecogan_tpu.kernels.upsample4 import _on_tpu
             return h * w >= 400_000 and _on_tpu()
-        s2d_mode = s2d_mode_for(self.config)
+        s2d_mode_cfg = self.config
         flow_mode = self.config.inline_flow
 
         def use_inline_flow(h, w):
@@ -231,6 +248,7 @@ class StreamingSR:
                     compute_dtype)
             t, b, h, w, c = lr_chunk.shape
             inline = use_inline_flow(h, w)
+            s2d_mode = s2d_mode_for(s2d_mode_cfg, b)
             # Adjacent pairs incl. the carried previous frame.
             prev = jnp.concatenate([state.prev_lr[None], lr_chunk[:-1]], axis=0)
             pairs = jnp.concatenate([prev, lr_chunk], axis=-1)

@@ -81,7 +81,7 @@ def build_frame_fn(config: TecoConfig, gen_apply, fnet_apply,
                                       max_displacement=max_disp)
             gen_out = generator_apply_hr_input(
                 gen_params, lr, warped, num_resblock=num_rb,
-                s2d_mode=s2d_mode_for(config))
+                s2d_mode=s2d_mode_for(config, batch=lr.shape[0]))
         else:
             packed = warp_space_to_depth(state.prev_hr, flow_hr, 4,
                                          max_displacement=max_disp)
