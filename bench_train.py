@@ -33,7 +33,9 @@ def main() -> None:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     mode = argv[0] if argv else "frvsr"
     use_vgg = "--vgg" in sys.argv
-    use_fold = "--fold" in sys.argv  # A/B: train-scan s2d fold (config.py)
+    # A/B: train-scan s2d fold mode (config.py train_fold_s2d).
+    use_fold = ("patchify" if "--fold_patchify" in sys.argv
+                else "--fold" in sys.argv)
     cfg = TecoConfig(
         num_resblock=10 if mode == "frvsr" else 16,
         batch_size=4, crop_size=32, rnn_n=10,
@@ -67,7 +69,8 @@ def main() -> None:
     ips = cfg.batch_size * cfg.unroll_frames / secs
     print(json.dumps({
         "metric": f"train_step_{mode}" + ("_vgg" if use_vgg else "")
-                  + ("_fold" if use_fold else ""),
+                  + ("_fold_patchify" if use_fold == "patchify"
+                     else "_fold" if use_fold else ""),
         "value": round(ips, 1),
         "unit": "images/sec*frames",
         "step_ms": round(secs * 1e3, 1),

@@ -120,13 +120,16 @@ class TecoConfig:
     #   A/B); "patchify" = force patchify at any geometry. See
     #   models/generator.py:generator_apply_hr_input and
     #   recurrent/inference.py:s2d_mode_for.
-    train_fold_s2d: bool = False     # fold the recurrent s2d pack into the
-    #   stride-4 input conv in the TRAINING unroll too (recurrent/step.py:
-    #   unroll_generator fold_input). MEASURED NEGATIVE on v5e (TecoGAN-16
-    #   b4 crop32 rnn10: 110.6 ms folded vs 105.1 ms packed) — the stride-4
-    #   conv's input-gradient (a dilated 12x12 conv over the 4x HR frame)
-    #   costs more than the s2d transpose pair it removes. Kept as an
-    #   option + equality test; default off.
+    train_fold_s2d: Any = False      # fold the recurrent s2d pack into the
+    #   generator input stage in the TRAINING unroll too (recurrent/step.py:
+    #   unroll_generator fold_input). False/"off" = the packed s2d path;
+    #   True/"on" = the stride-4 fold — MEASURED NEGATIVE on v5e (TecoGAN-16
+    #   b4 crop32 rnn10: 110.6 ms folded vs 105.1 ms packed; the stride-4
+    #   conv's input-gradient, a dilated 12x12 conv over the 4x HR frame,
+    #   costs more than the s2d transpose pair it removes); "patchify" =
+    #   the s2d as a 0/1-selection 4x4-stride-4 conv (the round-4 inference
+    #   headline win; its input gradient is a non-overlapping 4x4 convT —
+    #   scatter-free). Kept as tested options; default off.
     pallas_flow_upsample: str = "auto"  # 4x flow upsample via the Pallas
     #   banded-matmul kernel (kernels/upsample4.py) instead of XLA's einsum
     #   form in the streaming step ("off"|"auto"|"on"). In-scan A/B
@@ -181,6 +184,7 @@ class TecoConfig:
             "fold_input_s2d": ("off", "auto", "on", "patchify"),
             "pallas_flow_upsample": ("off", "auto", "on"),
             "fused_trunk": ("off", "auto", "on"),
+            "train_fold_s2d": (False, True, "off", "on", "patchify"),
         }
         for field, values in allowed.items():
             v = getattr(self, field)

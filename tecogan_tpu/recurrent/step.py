@@ -130,7 +130,7 @@ def unroll_generator(
     flow_hr: jnp.ndarray,
     remat: bool = True,
     with_warppre: bool = True,
-    fold_input: bool = False,
+    fold_input=False,
     num_resblock: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Recurrent generator unroll via lax.scan (reference Teco.py:125-164).
@@ -147,11 +147,14 @@ def unroll_generator(
         eliminated — pass False on the loss path so the scan neither
         computes nor stacks the (B, T-1, 4h, 4w, 3) tensor.
       fold_input: skip the space-to-depth pack of the warped previous output
-        and feed the raw warped HR frame to the generator through the
-        stride-4 folded input conv (models/generator.py:
-        generator_apply_hr_input — mathematically identical input stage,
-        same param tree). Removes the per-frame s2d lane-interleave
-        transpose from both the forward scan and its backward.
+        and feed the raw warped HR frame to the generator through a folded
+        input stage (models/generator.py:generator_apply_hr_input —
+        mathematically identical, same param tree). True/"on" = the
+        stride-4 kernel fold; "patchify" = the s2d as a 0/1-selection
+        4x4-stride-4 conv (MXU im2col; input gradient is a non-overlapping
+        4x4 convT, scatter-free). Either removes the per-frame s2d
+        lane-interleave transpose from both the forward scan and its
+        backward. False/"off" = the packed default.
       num_resblock: trunk depth for the ``fold_input`` path (the flax apply
         carries it in the module; the pure fold forward needs it passed).
 
@@ -162,6 +165,8 @@ def unroll_generator(
         when ``with_warppre=False``.
     """
     b, t, h, w, _ = r_inputs.shape
+    fold_mode = {False: None, "off": None, True: "stride4", "on": "stride4",
+                 "patchify": "patchify"}[fold_input]
 
     # Frame 0: zero recurrent features (reference Teco.py:127-133).
     inp0 = jnp.concatenate(
@@ -171,12 +176,13 @@ def unroll_generator(
 
     def body(prev_out, xs):
         lr, flow = xs  # (B, h, w, 3), (B, 4h, 4w, 2)
-        if fold_input:
-            # Raw-HR warp (deprocess folded into the gather epilogue) + the
-            # stride-4 folded input conv — no s2d transpose materialized.
+        if fold_mode is not None:
+            # Raw-HR warp (deprocess folded into the gather epilogue) + a
+            # folded input stage — no s2d transpose materialized.
             warped01 = dense_image_warp(prev_out, flow, scale=0.5, shift=0.5)
             gen_out = generator_apply_hr_input(
-                gen_params, lr.astype(prev_out.dtype), warped01, num_resblock
+                gen_params, lr.astype(prev_out.dtype), warped01, num_resblock,
+                s2d_mode=fold_mode,
             )
             if with_warppre:
                 return gen_out, (gen_out, preprocess(warped01))

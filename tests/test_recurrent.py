@@ -109,6 +109,18 @@ def test_unroll_no_warppre_and_fold_variants(rng):
     np.testing.assert_allclose(np.asarray(flat_r), np.asarray(flat_f),
                                rtol=1e-3, atol=1e-5)
 
+    # "patchify" fold: the s2d as a 0/1-selection conv — same outputs and
+    # parameter gradients (config.py train_fold_s2d="patchify").
+    patch, _ = unroll_generator(
+        gen.apply, gp, seq, flow_hr, remat=False, with_warppre=False,
+        fold_input="patchify", num_resblock=2)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(patch),
+                               rtol=1e-4, atol=1e-5)
+    g_patch = jax.grad(loss)(gp, "patchify")
+    flat_p, _ = ravel_pytree(g_patch)
+    np.testing.assert_allclose(np.asarray(flat_r), np.asarray(flat_p),
+                               rtol=1e-3, atol=1e-5)
+
 
 def test_extend_pingpong_order(rng):
     x = jnp.arange(5)[None, :, None]  # (1, 5, 1)
