@@ -11,6 +11,7 @@ pretrained vgg_19.ckpt is not distributable here. Reports
 images/sec * frame_len like the reference console (main.py:404-411).
 
 Usage: python bench_train.py [frvsr|tecogan] [--vgg]
+       [--no_fold | --fold | --fold_patchify]   (train_fold_s2d A/B)
 """
 
 from __future__ import annotations
@@ -33,9 +34,17 @@ def main() -> None:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     mode = argv[0] if argv else "frvsr"
     use_vgg = "--vgg" in sys.argv
-    # A/B: train-scan s2d fold mode (config.py train_fold_s2d).
-    use_fold = ("patchify" if "--fold_patchify" in sys.argv
-                else "--fold" in sys.argv)
+    # A/B: train-scan s2d fold mode (config.py train_fold_s2d; default is
+    # the config default — "patchify" since round 4).
+    if "--fold_patchify" in sys.argv:
+        use_fold = "patchify"
+    elif "--fold" in sys.argv:
+        use_fold = True
+    elif "--no_fold" in sys.argv:
+        use_fold = False
+    else:
+        use_fold = None
+    kw = {} if use_fold is None else {"train_fold_s2d": use_fold}
     cfg = TecoConfig(
         num_resblock=10 if mode == "frvsr" else 16,
         batch_size=4, crop_size=32, rnn_n=10,
@@ -44,7 +53,7 @@ def main() -> None:
         pingpong=mode != "frvsr",
         vgg_scaling=0.2 if use_vgg else -0.002,  # runGan.py:162-163
         compute_dtype="bfloat16",
-        train_fold_s2d=use_fold,
+        **kw,
     )
     vgg_params = None
     if use_vgg:
@@ -70,7 +79,8 @@ def main() -> None:
     print(json.dumps({
         "metric": f"train_step_{mode}" + ("_vgg" if use_vgg else "")
                   + ("_fold_patchify" if use_fold == "patchify"
-                     else "_fold" if use_fold else ""),
+                     else "_fold" if use_fold is True
+                     else "_no_fold" if use_fold is False else ""),
         "value": round(ips, 1),
         "unit": "images/sec*frames",
         "step_ms": round(secs * 1e3, 1),

@@ -120,16 +120,18 @@ class TecoConfig:
     #   A/B); "patchify" = force patchify at any geometry. See
     #   models/generator.py:generator_apply_hr_input and
     #   recurrent/inference.py:s2d_mode_for.
-    train_fold_s2d: Any = False      # fold the recurrent s2d pack into the
+    train_fold_s2d: Any = "patchify"  # fold the recurrent s2d pack into the
     #   generator input stage in the TRAINING unroll too (recurrent/step.py:
-    #   unroll_generator fold_input). False/"off" = the packed s2d path;
-    #   True/"on" = the stride-4 fold — MEASURED NEGATIVE on v5e (TecoGAN-16
-    #   b4 crop32 rnn10: 110.6 ms folded vs 105.1 ms packed; the stride-4
-    #   conv's input-gradient, a dilated 12x12 conv over the 4x HR frame,
-    #   costs more than the s2d transpose pair it removes); "patchify" =
-    #   the s2d as a 0/1-selection 4x4-stride-4 conv (the round-4 inference
-    #   headline win; its input gradient is a non-overlapping 4x4 convT —
-    #   scatter-free). Kept as tested options; default off.
+    #   unroll_generator fold_input). "patchify" (default) = the s2d as a
+    #   0/1-selection 4x4-stride-4 conv (the round-4 inference headline
+    #   trick; its input gradient is a non-overlapping 4x4 convT —
+    #   scatter-free). Measured on v5e b4 crop32 rnn10: TecoGAN-16+VGG
+    #   112.7 -> 107.3 ms/step, FRVSR-10 34.5 -> 30.8 (repeat-confirmed).
+    #   False/"off" = the packed s2d path (round-3 default); True/"on" =
+    #   the stride-4 kernel fold — MEASURED NEGATIVE (110.6 vs 105.1 ms:
+    #   its input-gradient is a dilated 12x12 conv over the 4x HR frame,
+    #   costlier than the s2d transposes it removes). All three are
+    #   equality-tested (tests/test_recurrent.py).
     pallas_flow_upsample: str = "auto"  # 4x flow upsample via the Pallas
     #   banded-matmul kernel (kernels/upsample4.py) instead of XLA's einsum
     #   form in the streaming step ("off"|"auto"|"on"). In-scan A/B
