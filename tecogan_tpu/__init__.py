@@ -20,6 +20,16 @@ dense-image-warp op, ``lax.scan`` for the temporal recurrence, and
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("TECOGAN_PLATFORM"):
+    # Some TPU plugins register themselves regardless of JAX_PLATFORMS; the
+    # config knob is the only override they honor. Lets CLI subprocesses be
+    # pinned to CPU for smokes/debugging (tests/conftest.py does the same).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["TECOGAN_PLATFORM"])
+
 from tecogan_tpu.config import TecoConfig, FRVSR_PRESET, TECOGAN_PRESET, MINI_PRESET
 
 __all__ = [

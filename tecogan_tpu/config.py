@@ -109,8 +109,11 @@ class TecoConfig:
     fold_input_s2d: str = "auto"     # fold the post-warp space-to-depth into
     #   the generator's HR input conv at inference
     #   ("off"|"auto"|"on"|"patchify"). "auto" = patchify-mode fold on
-    #   mid-size frames (HR 100k..2.1M px): the s2d as a 0/1-selection
-    #   4x4-stride-4 conv (MXU im2col, bit-identical to the flax path).
+    #   mid-size frames (HR 100k..2.1M px) at EVERY batch size: the s2d as
+    #   a 0/1-selection 4x4-stride-4 conv (MXU im2col, bit-identical to
+    #   the flax path; stride4's split conv is separately bf16-rounded on
+    #   TPU, so batched serving would drift from single-stream outputs —
+    #   see recurrent/inference.py:s2d_mode_for).
     #   Round-4 in-scan A/B: patchify beats the round-3 stride-4 fold
     #   everywhere in the band (221.0 -> 235.8 fps at 576x720 HR, 515.6 ->
     #   586.3 at 384x480, 887.0 -> 929.8 at 288x360) and no-fold at

@@ -97,19 +97,22 @@ def fold_s2d_active(config: TecoConfig, h: int, w: int) -> bool:
 def s2d_mode_for(config: TecoConfig, batch: int = 1) -> str:
     """The ``generator_apply_hr_input`` s2d mode a config selects (shared
     by the streaming and serving engines; only meaningful where
-    :func:`fold_s2d_active` is True). "auto" is batch-aware: patchify for
-    single-stream (B=1, where its MXU im2col wins — see band comment
-    above) but the stride-4 fold for batched runs, where the MXU is
-    already well fed and patchify's 16x-redundant selection MACs cost
-    more than the lane-interleave they remove (B=4 at 144x180: stride4
-    286.9 vs patchify 282.1 vs no-fold 268.7 fps aggregate). "on"/"
-    patchify" force one mode at any batch/geometry for A/B."""
+    :func:`fold_s2d_active` is True). "auto" selects patchify at every
+    batch size: it is BIT-exact with the unfolded flax path (the 0/1
+    selection conv adds no rounding), whereas stride4 splits the input
+    conv into two separately-bf16-rounded convs — on TPU hardware that
+    per-layer half-ulp noise compounds through the resblock chain and the
+    recurrence, so a B>1 serving pool would disagree with the B=1
+    single-stream engine on identical inputs (measured one-frame: max
+    0.27 output diff at 16 resblocks/random weights on-chip vs 0.0 for
+    patchify; tools/validate_serve_hw.py caught it end-to-end).
+    stride4's batched-throughput edge is ~1.7% (B=4 at 144x180: 286.9 vs
+    282.1 fps aggregate) — not worth non-reproducible outputs. "on"
+    forces stride4 for A/B; "patchify" forces patchify."""
     mode = config.fold_input_s2d
     if mode == "on":
         return "stride4"
-    if mode == "patchify":
-        return "patchify"
-    return "patchify" if batch == 1 else "stride4"
+    return "patchify"
 
 
 class StreamingSR:

@@ -123,6 +123,20 @@ def test_server_fold_path_matches(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_auto_fold_mode_is_batch_invariant():
+    """"auto" must select the SAME (bit-exact patchify) fold at every batch
+    size: the stride-4 split conv is separately bf16-rounded on TPU, so a
+    batch-dependent mode made B>1 serving pools drift from the B=1
+    single-stream engine on identical inputs (caught on-chip by
+    tools/validate_serve_hw.py, round 4)."""
+    from tecogan_tpu.recurrent.inference import s2d_mode_for
+
+    cfg = TecoConfig()
+    modes = {s2d_mode_for(cfg, batch=b) for b in (1, 2, 4, 8)}
+    assert modes == {"patchify"}
+    assert s2d_mode_for(cfg.replace(fold_input_s2d="on"), batch=1) == "stride4"
+
+
 def test_uint8_io(rng):
     cfg, gen, fnet, gp, fp = make()
     frames01 = rng.rand(3, H, W, 3).astype(np.float32)

@@ -89,9 +89,11 @@ def trace_stream(h: int, w: int, chunk: int) -> None:
     _report("/tmp/trace_step", chunk)
 
 
-def trace_train(mode: str, use_vgg: bool = False, use_fold: bool = False) -> None:
+def trace_train(mode: str, use_vgg: bool = False, use_fold=None) -> None:
     from tecogan_tpu.train.trainer import Trainer
 
+    # use_fold=None traces the config default (train_fold_s2d="patchify").
+    kw = {} if use_fold is None else {"train_fold_s2d": use_fold}
     cfg = TecoConfig(
         num_resblock=10 if mode == "frvsr" else 16,
         batch_size=4, crop_size=32, rnn_n=10, learning_rate=5e-5,
@@ -99,7 +101,7 @@ def trace_train(mode: str, use_vgg: bool = False, use_fold: bool = False) -> Non
         pingpong=mode != "frvsr",
         vgg_scaling=0.2 if use_vgg else -0.002,
         compute_dtype="bfloat16",
-        train_fold_s2d=use_fold)
+        **kw)
     vgg_params = None
     if use_vgg:  # random weights: identical FLOPs to the pretrained ones
         from tecogan_tpu.models.vgg19 import random_vgg19_params
@@ -124,7 +126,8 @@ if __name__ == "__main__":
     if kind == "train":
         trace_train(sys.argv[2] if len(sys.argv) > 2 else "tecogan",
                     use_vgg="--vgg" in sys.argv,
-                    use_fold="--fold" in sys.argv)
+                    use_fold=True if "--fold" in sys.argv
+                    else False if "--no_fold" in sys.argv else None)
     else:
         h = int(sys.argv[2]) if len(sys.argv) > 2 else 540
         w = int(sys.argv[3]) if len(sys.argv) > 3 else 960
