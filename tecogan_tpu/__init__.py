@@ -28,7 +28,25 @@ if _os.environ.get("TECOGAN_PLATFORM"):
     # pinned to CPU for smokes/debugging (tests/conftest.py does the same).
     import jax as _jax
 
-    _jax.config.update("jax_platforms", _os.environ["TECOGAN_PLATFORM"])
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _already = _xb.backends_are_initialized()
+    except Exception:  # private API may move between jax versions
+        _already = False
+    if _already:
+        import warnings as _warnings
+
+        _warnings.warn(
+            "TECOGAN_PLATFORM=%r set, but JAX backends were already "
+            "initialized before tecogan_tpu was imported — the platform pin "
+            "is a no-op. Set JAX_PLATFORMS or import tecogan_tpu first."
+            % _os.environ["TECOGAN_PLATFORM"],
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    else:
+        _jax.config.update("jax_platforms", _os.environ["TECOGAN_PLATFORM"])
 
 from tecogan_tpu.config import TecoConfig, FRVSR_PRESET, TECOGAN_PRESET, MINI_PRESET
 

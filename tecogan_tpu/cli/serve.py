@@ -50,7 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_streams", type=int, default=4,
                    help="slot-pool size PER GEOMETRY bucket: K distinct "
                         "input resolutions compile K programs and keep "
-                        "K*max_streams resident state slots on the chip")
+                        "K*max_streams resident state slots on the chip "
+                        "(bounded by --state_budget_mb)")
+    p.add_argument("--state_budget_mb", type=float, default=2048.0,
+                   help="cap on total resident serving state across geometry "
+                        "buckets; idle buckets are LRU-evicted to admit new "
+                        "geometries and over-budget opens are refused with "
+                        "the computed bytes instead of OOMing the chip "
+                        "(<=0 disables)")
     p.add_argument("--max_frames", type=int, default=-1)
     p.add_argument("--lookahead", type=int, default=16,
                    help="per-stream decoded-frame buffer depth (host memory "
@@ -129,7 +136,10 @@ def run_serve(args, config) -> None:
     # (one compiled step) per geometry, fanned out each tick.
     srv = MultiGeometryServer(config, gen_params, fnet_params,
                               slots_per_geometry=args.max_streams,
-                              output="uint8")
+                              output="uint8",
+                              state_budget_mb=(args.state_budget_mb
+                                               if args.state_budget_mb > 0
+                                               else None))
 
     pending = list(sources)     # admission queue (FIFO per geometry bucket)
     cursor = {n: 0 for n in sources}

@@ -89,7 +89,11 @@ def generator_apply_hr_input(params, lr, warped_hr, num_resblock: int = 16,
     accumulation to the flax path; the patchify conv is exact: one 1.0 tap
     per output channel in an f32 accumulator).
 
-    Inference-only path; takes the SAME param tree as :class:`Generator`.
+    Used by both inference and the training unroll (the default
+    ``train_fold_s2d="patchify"`` routes every train step through here);
+    takes the SAME param tree as :class:`Generator`. Gradients through this
+    path are equality-tested against the packed flax apply in
+    tests/test_recurrent.py.
 
     Args:
       lr: (B, h, w, 3) LR frame in [0, 1].

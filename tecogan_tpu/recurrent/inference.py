@@ -94,11 +94,12 @@ def fold_s2d_active(config: TecoConfig, h: int, w: int) -> bool:
     return _FOLD_S2D_MIN_HR_PIXELS < hr_px <= _FOLD_S2D_MAX_HR_PIXELS
 
 
-def s2d_mode_for(config: TecoConfig, batch: int = 1) -> str:
+def s2d_mode_for(config: TecoConfig) -> str:
     """The ``generator_apply_hr_input`` s2d mode a config selects (shared
     by the streaming and serving engines; only meaningful where
-    :func:`fold_s2d_active` is True). "auto" selects patchify at every
-    batch size: it is BIT-exact with the unfolded flax path (the 0/1
+    :func:`fold_s2d_active` is True). Deliberately NOT batch-dependent —
+    "auto" selects patchify at every batch size: it is BIT-exact with the
+    unfolded flax path (the 0/1
     selection conv adds no rounding), whereas stride4 splits the input
     conv into two separately-bf16-rounded convs — on TPU hardware that
     per-layer half-ulp noise compounds through the resblock chain and the
@@ -251,7 +252,7 @@ class StreamingSR:
                     compute_dtype)
             t, b, h, w, c = lr_chunk.shape
             inline = use_inline_flow(h, w)
-            s2d_mode = s2d_mode_for(s2d_mode_cfg, b)
+            s2d_mode = s2d_mode_for(s2d_mode_cfg)
             # Adjacent pairs incl. the carried previous frame.
             prev = jnp.concatenate([state.prev_lr[None], lr_chunk[:-1]], axis=0)
             pairs = jnp.concatenate([prev, lr_chunk], axis=-1)

@@ -165,8 +165,16 @@ def unroll_generator(
         when ``with_warppre=False``.
     """
     b, t, h, w, _ = r_inputs.shape
-    fold_mode = {False: None, "off": None, True: "stride4", "on": "stride4",
-                 "patchify": "patchify"}[fold_input]
+    _FOLD_MODES = {False: None, "off": None, True: "stride4", "on": "stride4",
+                   "patchify": "patchify"}
+    try:
+        fold_mode = _FOLD_MODES[fold_input]
+    except KeyError:
+        raise ValueError(
+            f"unroll_generator fold_input={fold_input!r}: expected one of "
+            "False/'off', True/'on', or 'patchify' (this is the TRAIN-unroll "
+            "fold selector; the inference-side 'auto' resolves before here)"
+        ) from None
 
     # Frame 0: zero recurrent features (reference Teco.py:127-133).
     inp0 = jnp.concatenate(

@@ -81,7 +81,7 @@ def build_frame_fn(config: TecoConfig, gen_apply, fnet_apply,
                                       max_displacement=max_disp)
             gen_out = generator_apply_hr_input(
                 gen_params, lr, warped, num_resblock=num_rb,
-                s2d_mode=s2d_mode_for(config, batch=lr.shape[0]))
+                s2d_mode=s2d_mode_for(config))
         else:
             packed = warp_space_to_depth(state.prev_hr, flow_hr, 4,
                                          max_displacement=max_disp)
@@ -305,32 +305,107 @@ class MultiGeometryServer:
       slots_per_geometry: slot-pool size of each geometry bucket. One chip
         saturates at ~4-8 concurrent calendar-sized streams (BASELINE.md
         "multi-stream saturation"); big-frame buckets saturate earlier.
-        Buckets are created on demand and kept for the server's lifetime
-        (their compiled steps and state pools stay resident).
+        Buckets are created on demand; idle buckets (no open streams) are
+        evicted least-recently-used when a new geometry would push the
+        resident state past ``state_budget_mb`` (their compiled step stays
+        in XLA's in-process cache, so re-attaching the geometry later pays
+        only the state re-allocation, not a recompile).
+      state_budget_mb: cap on the total device bytes this server pins
+        across geometry buckets — each bucket's cost is knowable at open()
+        time: slot-pool recurrent state (``prev_lr``+``prev_hr`` =
+        51·h·w·itemsize per slot) plus the per-tick LR-input and HR-output
+        buffers (estimated by :meth:`bucket_bytes`). Opening a geometry
+        that cannot fit even after evicting every idle bucket raises
+        RuntimeError with the computed numbers (admission control — a
+        many-geometry workload must not OOM the chip silently). ``None``
+        disables the guard. With a ``mesh``, the budget is interpreted
+        per-device (state is sharded over the dp axis, so each device pins
+        ``bucket_bytes / n_devices``).
     """
 
     def __init__(self, config: TecoConfig, gen_params, fnet_params,
                  slots_per_geometry: int = 4, output: str = "uint8",
-                 mesh=None):
+                 mesh=None, state_budget_mb: Optional[float] = 2048.0):
         self.config = config
         self.gen_params = gen_params
         self.fnet_params = fnet_params
         self.slots_per_geometry = slots_per_geometry
         self.output = output
         self.mesh = mesh
+        self.state_budget_mb = state_budget_mb
         self._buckets: Dict[Tuple[int, int], VSRServer] = {}
         self._geo_of: Dict[object, Tuple[int, int]] = {}
         self._bucket_lock = threading.Lock()
+        self._use_clock = 0  # LRU ordinal for idle-bucket eviction
+        self._last_use: Dict[Tuple[int, int], int] = {}
+
+    def bucket_bytes(self, height: int, width: int) -> int:
+        """Device bytes one (height, width) bucket pins while resident:
+        the slot pool's recurrent state (prev_lr (h,w,3) + prev_hr
+        (4h,4w,3) = 51·h·w·itemsize per slot) plus one tick's LR-input and
+        HR-output buffers. Compiled-program temps are excluded (XLA frees
+        them between executions); with a mesh, divide by the dp-axis size
+        for the per-device share."""
+        hw = int(height) * int(width)
+        item = jnp.dtype(self.config.compute_dtype).itemsize
+        state = 51 * hw * item
+        out_item = 1 if self.output == "uint8" else 4
+        tick_io = 3 * hw * 1 + 48 * hw * out_item  # uint8 LR in, HR out
+        total = self.slots_per_geometry * (state + tick_io)
+        if self.mesh is not None:
+            total //= int(self.mesh.shape[self.config.dp_axis])
+        return total
+
+    @property
+    def footprint_bytes(self) -> int:
+        """Total estimated device bytes across instantiated buckets
+        (per-device when sharded over a mesh)."""
+        return sum(self.bucket_bytes(h, w) for h, w in self._buckets)
 
     def _bucket(self, geo: Tuple[int, int]) -> VSRServer:
         with self._bucket_lock:
             srv = self._buckets.get(geo)
             if srv is None:
+                self._admit_locked(geo)
                 srv = self._buckets[geo] = VSRServer(
                     self.config, self.gen_params, self.fnet_params,
                     geo[0], geo[1], max_streams=self.slots_per_geometry,
                     output=self.output, mesh=self.mesh)
+            self._use_clock += 1
+            self._last_use[geo] = self._use_clock
         return srv
+
+    def _admit_locked(self, geo: Tuple[int, int]) -> None:
+        """Fit a new geometry under ``state_budget_mb``: evict idle buckets
+        LRU-first, refuse with the computed bytes if that is not enough.
+        Caller holds ``_bucket_lock``."""
+        if self.state_budget_mb is None:
+            return
+        budget = int(self.state_budget_mb * 2**20)
+        need = self.bucket_bytes(*geo)
+        if need > budget:
+            raise RuntimeError(
+                f"geometry {geo} alone needs ~{need / 2**20:.1f} MB of "
+                f"device state ({self.slots_per_geometry} slots) — over the "
+                f"{self.state_budget_mb:.0f} MB state_budget_mb; lower "
+                f"slots_per_geometry or raise the budget")
+        idle = sorted(
+            (g for g, srv in self._buckets.items() if not srv.open_streams),
+            key=lambda g: self._last_use.get(g, 0))
+        while self.footprint_bytes + need > budget and idle:
+            g = idle.pop(0)
+            del self._buckets[g]  # device state freed on GC; compiled
+            self._last_use.pop(g, None)  # step stays in XLA's cache
+        if self.footprint_bytes + need > budget:
+            busy = {g: f"{self.bucket_bytes(*g) / 2**20:.1f} MB"
+                    for g in self._buckets}
+            raise RuntimeError(
+                f"opening geometry {geo} (~{need / 2**20:.1f} MB) would put "
+                f"the server at "
+                f"{(self.footprint_bytes + need) / 2**20:.1f} MB resident "
+                f"state, over state_budget_mb={self.state_budget_mb:.0f} and "
+                f"every remaining bucket has open streams: {busy}. Close "
+                f"streams, lower slots_per_geometry, or raise the budget.")
 
     def prewarm(self, geometries: Iterable[Tuple[int, int]],
                 frame_dtype=np.uint8, background: bool = False):
@@ -409,6 +484,10 @@ class MultiGeometryServer:
             by_geo.setdefault(geo, {})[sid] = frame
         # Dispatch every bucket before materializing any output: JAX async
         # dispatch overlaps bucket k's HR download with bucket k+1's step.
+        with self._bucket_lock:
+            self._use_clock += 1
+            for geo in by_geo:
+                self._last_use[geo] = self._use_clock
         parts = [self._buckets[geo].step(fs, fetch=False)
                  for geo, fs in by_geo.items()]
         out: Dict[object, np.ndarray] = {}

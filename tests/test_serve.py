@@ -124,17 +124,21 @@ def test_server_fold_path_matches(rng):
 
 
 def test_auto_fold_mode_is_batch_invariant():
-    """"auto" must select the SAME (bit-exact patchify) fold at every batch
-    size: the stride-4 split conv is separately bf16-rounded on TPU, so a
+    """"auto" must select the SAME (bit-exact patchify) fold regardless of
+    batch size — s2d_mode_for deliberately takes no batch argument: the
+    stride-4 split conv is separately bf16-rounded on TPU, so a
     batch-dependent mode made B>1 serving pools drift from the B=1
     single-stream engine on identical inputs (caught on-chip by
     tools/validate_serve_hw.py, round 4)."""
+    import inspect
+
     from tecogan_tpu.recurrent.inference import s2d_mode_for
 
     cfg = TecoConfig()
-    modes = {s2d_mode_for(cfg, batch=b) for b in (1, 2, 4, 8)}
-    assert modes == {"patchify"}
-    assert s2d_mode_for(cfg.replace(fold_input_s2d="on"), batch=1) == "stride4"
+    assert s2d_mode_for(cfg) == "patchify"
+    assert s2d_mode_for(cfg.replace(fold_input_s2d="on")) == "stride4"
+    # Guard against batch-aware selection being reintroduced by accident.
+    assert "batch" not in inspect.signature(s2d_mode_for).parameters
 
 
 def test_uint8_io(rng):
@@ -229,6 +233,62 @@ def test_multi_geometry_lifecycle(rng):
     srv.open("c", H, W)                        # slot freed
     assert sorted(srv.open_streams) == ["b", "c"]
     assert srv.step({}) == {}
+
+
+def test_multi_geometry_state_budget(rng):
+    """state_budget_mb caps resident device state across geometry buckets:
+    idle buckets are LRU-evicted to admit new geometries; when every bucket
+    has open streams the open() is refused with the computed bytes (a
+    many-geometry workload must not OOM the chip silently)."""
+    cfg, gen, fnet, gp, fp = make()
+    # Three distinct geometries with identical pixel counts -> equal bytes.
+    g1, g2, g3 = (H, W), (8, 32), (32, 8)
+    probe = MultiGeometryServer(cfg, gp, fp, slots_per_geometry=1,
+                                output="float32", state_budget_mb=None)
+    per = probe.bucket_bytes(*g1)
+    assert per == probe.bucket_bytes(*g2) == probe.bucket_bytes(*g3)
+    srv = MultiGeometryServer(cfg, gp, fp, slots_per_geometry=1,
+                              output="float32",
+                              state_budget_mb=2.5 * per / 2**20)
+
+    srv.open("a", *g1)
+    srv.open("b", *g2)
+    assert srv.footprint_bytes == 2 * per
+    # Third geometry over budget, every bucket busy -> refused, not OOMed.
+    with pytest.raises(RuntimeError, match="open streams"):
+        srv.open("c", *g3)
+    # An idle bucket is evicted to make room (compiled step stays cached).
+    srv.close("b")
+    srv.open("c", *g3)
+    assert set(srv.geometries) == {g1, g3}
+    assert srv.footprint_bytes == 2 * per
+    # Evicted-then-recreated buckets serve correctly, and the surviving
+    # stream's recurrence is untouched by its neighbor's eviction.
+    frames = rng.rand(3, H, W, 3).astype(np.float32)
+    got = np.stack([srv.step({"a": f})["a"] for f in frames])
+    np.testing.assert_allclose(got, solo_run(gen, fnet, gp, fp, frames),
+                               rtol=1e-4, atol=1e-5)
+    srv.close("a")
+    srv.open("d", *g2)  # g1 idle now; g2's bucket is rebuilt under budget
+    out = srv.step({"d": rng.rand(8, 32, 3).astype(np.float32)})["d"]
+    assert out.shape == (32, 128, 3)
+
+    # LRU order: with two idle buckets, the least recently used one goes.
+    warm = MultiGeometryServer(cfg, gp, fp, slots_per_geometry=1,
+                               output="float32",
+                               state_budget_mb=2.5 * per / 2**20)
+    warm.prewarm([g1, g2], frame_dtype=np.float32)
+    warm.open("x", *g1)
+    warm.close("x")  # touches g1: g2 is now the LRU idle bucket
+    warm.open("y", *g3)
+    assert set(warm.geometries) == {g1, g3}
+
+    # A geometry that cannot fit even alone is refused up front.
+    tiny = MultiGeometryServer(cfg, gp, fp, slots_per_geometry=1,
+                               output="float32",
+                               state_budget_mb=0.5 * per / 2**20)
+    with pytest.raises(RuntimeError, match="alone needs"):
+        tiny.open("z", *g1)
 
 
 def test_lifecycle_errors(rng):

@@ -124,9 +124,13 @@ def trace_train(mode: str, use_vgg: bool = False, use_fold=None) -> None:
 if __name__ == "__main__":
     kind = sys.argv[1] if len(sys.argv) > 1 else "stream"
     if kind == "train":
+        # Three traceable arms regardless of the config default (matches
+        # bench_train.py's flag set): --fold = stride4 (known-negative),
+        # --fold_patchify = patchify, --no_fold = packed s2d.
         trace_train(sys.argv[2] if len(sys.argv) > 2 else "tecogan",
                     use_vgg="--vgg" in sys.argv,
-                    use_fold=True if "--fold" in sys.argv
+                    use_fold="patchify" if "--fold_patchify" in sys.argv
+                    else True if "--fold" in sys.argv
                     else False if "--no_fold" in sys.argv else None)
     else:
         h = int(sys.argv[2]) if len(sys.argv) > 2 else 540
