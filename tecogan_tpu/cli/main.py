@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="training unroll length (reference RNN_N, "
                         "main.py:101)")
     p.add_argument("--queue_thread", type=int, default=None)
+    p.add_argument("--save_freq", type=int, default=None,
+                   help="checkpoint every N steps (reference main.py:58)")
+    p.add_argument("--summary_freq", type=int, default=None)
+    p.add_argument("--display_freq", type=int, default=None)
     p.add_argument("--infer_chunk", type=int, default=None)
     p.add_argument("--spatial_shards", type=int, default=1,
                    help="shard frame height over N devices at inference "
@@ -101,6 +105,7 @@ def config_from_args(args) -> "TecoConfig":
                   "batch_size", "crop_size", "learning_rate", "ratio",
                   "vgg_scaling", "str_dir", "end_dir", "end_dir_val",
                   "max_frm", "rnn_n", "queue_thread", "infer_chunk",
+                  "save_freq", "summary_freq", "display_freq",
                   "compute_dtype"):
         v = getattr(args, field)
         if v is not None and not (isinstance(v, str) and v == ""):

@@ -1,0 +1,68 @@
+"""Multi-stream 2160p aggregate throughput probe (VERDICT r4 #5).
+
+One chip serving B concurrent 540p->2160p streams through the scan-batched
+streaming engine (the same path bench.py's ``multi_stream_fps`` measures at
+the calendar geometry). State fits HBM: per stream the resident recurrent
+state is one 2160x3840x3 bf16 HR frame (~50 MB) + the LR window; B=2 is
+~twice that plus the batched activations.
+
+Usage: python tools/bench_2160p_multi.py [B] [frames] [chunk]
+Prints one JSON line (median + spread over >=3 passes).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+H, W = 540, 960
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tecogan_tpu.config import TecoConfig
+    from tecogan_tpu.models import FNet, Generator
+    from tecogan_tpu.recurrent.inference import StreamingSR
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    frames_n = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+
+    cfg = TecoConfig(num_resblock=16, compute_dtype="bfloat16",
+                     infer_chunk=chunk)
+    generator = Generator(num_resblock=cfg.num_resblock,
+                          channels=cfg.gen_channels, dtype=jnp.bfloat16)
+    fnet = FNet(channels=cfg.fnet_channels, up_channels=cfg.fnet_up_channels,
+                max_velocity=cfg.flow_max_velocity, dtype=jnp.bfloat16)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    gp = generator.init(k1, jnp.zeros((1, H, W, 51)))["params"]
+    fp = fnet.init(k2, jnp.zeros((1, H, W, 6)))["params"]
+
+    rng = np.random.RandomState(0)
+    frames = rng.rand(frames_n, H, W, 3).astype(np.float32)
+    streams = np.stack([frames] * b)
+
+    sr = StreamingSR(cfg, gp, fp, output="uint8")
+    samples = sorted(sr.device_fps_batched_samples(streams, reps=2, passes=3))
+    fps = float(np.median(samples))
+    print(json.dumps({
+        "metric": f"long_2160p_multi_stream_b{b}",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip aggregate",
+        "per_stream_fps": round(fps / b, 2),
+        "spread": {"passes": len(samples),
+                   "min": round(samples[0], 2), "max": round(samples[-1], 2)},
+        "config": f"{b}x 540x960->2160x3840, chunk {chunk}, "
+                  f"{frames_n} frames, bf16",
+    }))
+
+
+if __name__ == "__main__":
+    main()
