@@ -184,11 +184,18 @@ def main() -> None:
         else:
             main_coldstart(b, h, w)
         return
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    h = int(sys.argv[2]) if len(sys.argv) > 2 else 144
-    w = int(sys.argv[3]) if len(sys.argv) > 3 else 180
+    args = list(sys.argv[1:])
+    fold = "auto"  # --fold on|patchify|off forces the s2d fold arm (A/B)
+    if "--fold" in args:
+        i = args.index("--fold")
+        fold = args[i + 1]
+        del args[i:i + 2]
+    b = int(args[0]) if len(args) > 0 else 4
+    h = int(args[1]) if len(args) > 1 else 144
+    w = int(args[2]) if len(args) > 2 else 180
 
-    cfg = TecoConfig(num_resblock=16, compute_dtype="bfloat16")
+    cfg = TecoConfig(num_resblock=16, compute_dtype="bfloat16",
+                     fold_input_s2d=fold)
     srv = make_server(cfg, h, w, b)
     rng = np.random.RandomState(0)
     lr = jnp.asarray((rng.rand(b, h, w, 3) * 255).astype(np.uint8))
