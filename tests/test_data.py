@@ -46,6 +46,29 @@ def test_synthetic_clip_motion():
     assert np.abs(clip[1] - clip[0]).mean() > 1e-3
 
 
+def test_synthetic_clip_natural_band_limited():
+    """The training/eval fixture regime must be x4-SR-learnable: most
+    spectral energy below the 0.125 cycles/px quarter-band that survives
+    Gaussian down-4 (the grating regime measurably is not — round-5
+    train->eval tied bicubic on it)."""
+    clip = synthetic_clip(6, 64, 80, seed=3, content="natural")
+    assert clip.shape == (6, 64, 80, 3)
+    assert clip.min() >= 0 and clip.max() <= 1
+    assert np.abs(clip[1] - clip[0]).mean() > 1e-4  # motion present
+    g = clip[0].mean(-1)
+    spec = np.abs(np.fft.fft2(g)) ** 2
+    spec[0, 0] = 0.0  # AC energy only
+    fy = np.fft.fftfreq(g.shape[0])[:, None]
+    fx = np.fft.fftfreq(g.shape[1])[None, :]
+    hi = (np.abs(fy) > 0.125) | (np.abs(fx) > 0.125)
+    assert spec[hi].sum() / spec.sum() < 0.10
+    # Deterministic per seed, distinct across seeds.
+    again = synthetic_clip(6, 64, 80, seed=3, content="natural")
+    assert np.array_equal(clip, again)
+    other = synthetic_clip(6, 64, 80, seed=4, content="natural")
+    assert np.abs(other - clip).mean() > 1e-3
+
+
 def test_scene_dataset_discovery(scene_root):
     cfg = cfg_for(scene_root)
     ds = SceneDataset(cfg)
