@@ -33,7 +33,10 @@ def main() -> None:
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     frames_n = int(sys.argv[2]) if len(sys.argv) > 2 else 48
-    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    # chunk 12 at B=2 needs 17.68G HBM (> the 15.75G chip) — the dominant
+    # temp is FNet's legacy-bilinear decoder resize, which scales with the
+    # fnet batch B*chunk; chunk 6 halves it and fits (round-5 OOM dump).
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else (12 if b == 1 else 6)
 
     cfg = TecoConfig(num_resblock=16, compute_dtype="bfloat16",
                      infer_chunk=chunk)

@@ -56,9 +56,33 @@ def _report(trace_dir: str, frames: int) -> None:
     total_us = sum(tot.values())
     print(f"device total (excl. while wrappers): "
           f"{total_us / 1e3 / frames:.2f} ms/frame-or-step")
+    # Per-stage shares (the structural-accounting view, BASELINE.md round 5).
+    stages = collections.Counter()
+    for name, us in tot.items():
+        stages[_stage(name, meta[name])] += us
+    print("per-stage:")
+    for s, us in stages.most_common():
+        print(f"{us / 1e3 / frames:8.3f} ms  {us / total_us * 100:5.1f}%  {s}")
     for name, us in tot.most_common(40):
         print(f"{us / 1e3 / frames:8.3f} x{cnt[name]:<4d} "
               f"{name[:42]:42s} {meta[name]}")
+
+
+def _stage(name: str, op: str) -> str:
+    """Classify an HLO op into a pipeline stage for share accounting."""
+    if "/FNet/" in op:
+        return "fnet"
+    if "/Generator/conv_tran" in op:
+        return "gen_convT_tail"
+    if "/Generator/output_stage" in op:
+        return "gen_output_stage"
+    if "/Generator/" in op:
+        return "gen_trunk"
+    if "while/body/closed_call/while/body" in op:
+        return "warp(chunked gather)"
+    if "custom-call" in name or "upsample" in op:
+        return "flow_upsample(pallas)"
+    return "other(s2d/fold/quantize/misc)"
 
 
 def trace_stream(h: int, w: int, chunk: int) -> None:
