@@ -195,6 +195,15 @@ class TecoConfig:
             v = getattr(self, field)
             if v not in values:
                 raise ValueError(f"{field}={v!r}; expected one of {values}")
+        # The training unroll runs FNet on the raw LR crop with no /8
+        # symmetric pad-back (inference pads any geometry back; the train
+        # path keeps shapes static for the scan). A non-multiple-of-8 crop
+        # would surface as an obscure flow reshape error deep in the step.
+        if self.crop_size % 8 != 0:
+            raise ValueError(
+                f"crop_size={self.crop_size} must be a multiple of 8 "
+                "(FNet has three 2x2 maxpools; the training unroll does "
+                "not pad odd LR grids back — reference uses 32)")
 
     def replace(self, **kw) -> "TecoConfig":
         return dataclasses.replace(self, **kw)
