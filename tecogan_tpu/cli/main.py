@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--crop_size", type=int, default=None)
     p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--decay_step", type=int, default=None,
+                   help="lr exponential-decay step (reference main.py:61)")
+    p.add_argument("--decay_rate", type=float, default=None,
+                   help="lr exponential-decay rate (reference main.py:62)")
     p.add_argument("--ratio", type=float, default=None)
     p.add_argument("--vgg_scaling", type=float, default=None)
     p.add_argument("--str_dir", type=int, default=None)
@@ -102,7 +106,8 @@ def config_from_args(args) -> "TecoConfig":
     }.get(args.preset, TecoConfig())
     overrides = {}
     for field in ("num_resblock", "rand_seed", "input_video_dir", "max_iter",
-                  "batch_size", "crop_size", "learning_rate", "ratio",
+                  "batch_size", "crop_size", "learning_rate", "decay_step",
+                  "decay_rate", "ratio",
                   "vgg_scaling", "str_dir", "end_dir", "end_dir_val",
                   "max_frm", "rnn_n", "queue_thread", "infer_chunk",
                   "save_freq", "summary_freq", "display_freq",

@@ -75,10 +75,21 @@ def phase_data(root):
     print("data ready:", train_dir, hr)
 
 
-def phase_train(root, iters, save_freq):
+def phase_train(root, iters, save_freq, lr=2e-4, decay_step_frac=0.25):
+    """Train FRVSR for ``iters`` steps with a budget-scaled lr schedule.
+
+    The reference's canonical 5e-5-flat is tuned for a 500k-step run
+    (runGan.py:255-266); at a 10k-step validation budget that schedule
+    underfits (round-5a measured: plateaued ~0.35 content loss at the
+    data floor). Scale it: start higher, exponential-decay (the same
+    reference decay machinery, Teco.py:95-99) to ~lr/16 by the end.
+    """
     flags = ["--max_iter", str(iters), "--str_dir", "2000",
              "--end_dir", "2010", "--end_dir_val", "2012",
-             "--save_freq", str(save_freq), "--no_test_while_train"]
+             "--save_freq", str(save_freq), "--no_test_while_train",
+             "--learning_rate", str(lr),
+             "--decay_step", str(max(1, int(iters * decay_step_frac))),
+             "--decay_rate", "0.5"]
     prior = sorted(glob.glob(os.path.join(root, "ex_FRVSR*")),
                    key=os.path.getmtime, reverse=True)
     if prior:
