@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lr exponential-decay step (reference main.py:61)")
     p.add_argument("--decay_rate", type=float, default=None,
                    help="lr exponential-decay rate (reference main.py:62)")
+    p.add_argument("--stair", action="store_true", default=None,
+                   help="staircase decay (reference main.py:87; the "
+                        "canonical cases pass it, runGan.py:156,264 — the "
+                        "frvsr/tecogan presets default it True)")
     p.add_argument("--ratio", type=float, default=None)
     p.add_argument("--vgg_scaling", type=float, default=None)
     p.add_argument("--str_dir", type=int, default=None)
@@ -107,7 +111,7 @@ def config_from_args(args) -> "TecoConfig":
     overrides = {}
     for field in ("num_resblock", "rand_seed", "input_video_dir", "max_iter",
                   "batch_size", "crop_size", "learning_rate", "decay_step",
-                  "decay_rate", "ratio",
+                  "decay_rate", "stair", "ratio",
                   "vgg_scaling", "str_dir", "end_dir", "end_dir_val",
                   "max_frm", "rnn_n", "queue_thread", "infer_chunk",
                   "save_freq", "summary_freq", "display_freq",
