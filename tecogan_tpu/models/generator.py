@@ -186,9 +186,10 @@ def _generator_tail(p, net, lr, num_resblock):
     net = jax.nn.relu(conv_tran("conv_tran2", net))
 
     from tecogan_tpu.models.layers import apply_output_conv
-    net = apply_output_conv(net,
-                            p["output_stage_conv"]["kernel"].astype(dtype),
-                            p["output_stage_conv"]["bias"].astype(dtype))
+    with jax.named_scope("output_stage_conv"):
+        net = apply_output_conv(
+            net, p["output_stage_conv"]["kernel"].astype(dtype),
+            p["output_stage_conv"]["bias"].astype(dtype))
     net = net + bicubic_four(lr)
     return preprocess(net)
 

@@ -69,20 +69,27 @@ def _report(trace_dir: str, frames: int) -> None:
 
 
 def _stage(name: str, op: str) -> str:
-    """Classify an HLO op into a pipeline stage for share accounting."""
+    """Classify an HLO op into a pipeline stage for share accounting.
+
+    Handles both the flax-module scopes (``/Generator/...``, big-frame
+    path) and the pytree fold fast path's bare scopes (``resblock_...``,
+    ``patchify_s2d_conv``, ... — generator_apply_hr_input)."""
     if "/FNet/" in op:
         return "fnet"
-    if "/Generator/conv_tran" in op:
+    if "conv_tran" in op:
         return "gen_convT_tail"
-    if "/Generator/output_stage" in op:
+    if "output_stage" in op:
         return "gen_output_stage"
-    if "/Generator/" in op:
+    if "/Generator/" in op or "resblock_" in op or "input_stage" in op:
         return "gen_trunk"
-    if "while/body/closed_call/while/body" in op:
-        return "warp(chunked gather)"
+    if "patchify_s2d_conv" in op or "fold_input" in op:
+        return "s2d_fold"
+    if ("while/body/closed_call/while/body" in op
+            or "take_along_axis" in op):
+        return "warp(gather)"
     if "custom-call" in name or "upsample" in op:
         return "flow_upsample(pallas)"
-    return "other(s2d/fold/quantize/misc)"
+    return "other(quantize/carry/misc)"
 
 
 def trace_stream(h: int, w: int, chunk: int) -> None:
