@@ -32,7 +32,7 @@ def main() -> None:
     from tecogan_tpu.recurrent.inference import StreamingSR
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    frames_n = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+    _ = int(sys.argv[2]) if len(sys.argv) > 2 else 48  # legacy arg slot (window is chunk-sized now)
     # chunk 12 at B=2 needs 17.68G HBM (> the 15.75G chip) — the dominant
     # temp is FNet's legacy-bilinear decoder resize, which scales with the
     # fnet batch B*chunk; chunk 6 halves it and fits (round-5 OOM dump).
@@ -49,7 +49,11 @@ def main() -> None:
     fp = fnet.init(k2, jnp.zeros((1, H, W, 6)))["params"]
 
     rng = np.random.RandomState(0)
-    frames = rng.rand(frames_n, H, W, 3).astype(np.float32)
+    # Time a chunk-sized window with chained state (bench_long.py's
+    # protocol): device_fps_* feeds its whole input as ONE scan, so the
+    # window must be chunk-sized or the batched fnet temp explodes
+    # (48-frame window at B=2 = fnet batch 96 -> 17.68G HBM, OOM).
+    frames = rng.rand(chunk, H, W, 3).astype(np.float32)
     streams = np.stack([frames] * b)
 
     sr = StreamingSR(cfg, gp, fp, output="uint8")
@@ -62,8 +66,7 @@ def main() -> None:
         "per_stream_fps": round(fps / b, 2),
         "spread": {"passes": len(samples),
                    "min": round(samples[0], 2), "max": round(samples[-1], 2)},
-        "config": f"{b}x 540x960->2160x3840, chunk {chunk}, "
-                  f"{frames_n} frames, bf16",
+        "config": f"{b}x 540x960->2160x3840, chunk-window {chunk}, bf16",
     }))
 
 
