@@ -33,9 +33,10 @@ def main() -> None:
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     _ = int(sys.argv[2]) if len(sys.argv) > 2 else 48  # legacy arg slot (window is chunk-sized now)
-    # chunk 12 at B=2 needs 17.68G HBM (> the 15.75G chip) — the dominant
-    # temp is FNet's legacy-bilinear decoder resize, which scales with the
-    # fnet batch B*chunk; chunk 6 halves it and fits (round-5 OOM dump).
+    # The dominant HBM temp is FNet's legacy-bilinear decoder resize, which
+    # scales with the fnet batch = B * window (NOT infer_chunk: the fps
+    # sampler scans its whole input). B=2 x 48-frame window = batch 96 ->
+    # 17.68G (OOM); chunk-sized windows keep it ~B*chunk/96 of that.
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else (12 if b == 1 else 6)
 
     cfg = TecoConfig(num_resblock=16, compute_dtype="bfloat16",
