@@ -123,7 +123,13 @@ def config_from_args(args) -> "TecoConfig":
 
 
 def load_inference_params(args, config):
-    """Resolve generator/fnet params from the configured weight source."""
+    """Resolve generator/fnet params from the configured weight source.
+
+    Returns ``(gen_params, fnet_params, config)`` — the config comes back
+    with ``num_resblock`` reconciled to the checkpoint: flax silently ignores
+    extra param subtrees, so running a 16-resblock checkpoint through a
+    10-resblock Generator used to truncate the trunk without a word.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -132,7 +138,7 @@ def load_inference_params(args, config):
     if args.checkpoint:
         import orbax.checkpoint as ocp
 
-        from tecogan_tpu.train.checkpoint import _manager
+        from tecogan_tpu.train.checkpoint import _manager, detect_num_resblock
 
         mgr = _manager(args.checkpoint)
         step = mgr.latest_step()
@@ -141,12 +147,18 @@ def load_inference_params(args, config):
         raw = mgr.restore(step, args=ocp.args.StandardRestore(None))
         mgr.close()
         print(f"Loaded checkpoint step {step} from {args.checkpoint}")
-        return raw["gen_params"], raw["fnet_params"]
+        n_rb = detect_num_resblock(raw["gen_params"])
+        if n_rb != config.num_resblock:
+            print(f"NOTE: checkpoint has {n_rb} resblocks; overriding "
+                  f"--num_resblock {config.num_resblock} (the checkpoint "
+                  "defines the model)")
+            config = config.replace(num_resblock=n_rb)
+        return raw["gen_params"], raw["fnet_params"], config
     if args.tf_npz:
         from tecogan_tpu.train.checkpoint import convert_tf_npz
 
         trees = convert_tf_npz(args.tf_npz, num_resblock=config.num_resblock)
-        return trees["generator"], trees["fnet"]
+        return trees["generator"], trees["fnet"], config
     if args.params_npz:
         from tecogan_tpu.train.checkpoint import npz_to_params
 
@@ -161,7 +173,7 @@ def load_inference_params(args, config):
             "fnet": fnet.init(k2, jnp.zeros((1, 32, 32, 6)))["params"],
         }
         trees = npz_to_params(args.params_npz, tmpl)
-        return trees["generator"], trees["fnet"]
+        return trees["generator"], trees["fnet"], config
     if args.allow_random_weights:
         print("WARNING: random weights (smoke mode, not a trained model)")
         gen = Generator(num_resblock=config.num_resblock,
@@ -173,6 +185,7 @@ def load_inference_params(args, config):
         return (
             gen.init(k1, jnp.zeros((1, 32, 32, 51)))["params"],
             fnet.init(k2, jnp.zeros((1, 32, 32, 6)))["params"],
+            config,
         )
     raise SystemExit(
         "inference needs --checkpoint, --tf_npz, --params_npz, "
@@ -204,7 +217,7 @@ def run_inference(args, config) -> None:
         max_frames=args.max_frames,
         as_uint8=not args.pipeline,  # pipeline path consumes f32
     )
-    gen_params, fnet_params = load_inference_params(args, config)
+    gen_params, fnet_params, config = load_inference_params(args, config)
     out_dir = os.path.join(args.output_dir, args.output_pre)
 
     def video_writer(warmup: int):

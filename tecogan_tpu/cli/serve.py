@@ -95,7 +95,7 @@ def config_from_args(args) -> TecoConfig:
 def run_export(args, config) -> None:
     from tecogan_tpu.serve import export_frame_step, save_frame_step
 
-    gen_params, fnet_params = load_inference_params(args, config)
+    gen_params, fnet_params, config = load_inference_params(args, config)
     exp = export_frame_step(config, gen_params, fnet_params,
                             batch=args.batch, height=args.height,
                             width=args.width)
@@ -131,7 +131,7 @@ def run_serve(args, config) -> None:
         for d, name in zip(dirs, names)
     }
 
-    gen_params, fnet_params = load_inference_params(args, config)
+    gen_params, fnet_params, config = load_inference_params(args, config)
     # Streams of different LR geometries are served together: one slot pool
     # (one compiled step) per geometry, fanned out each tick.
     srv = MultiGeometryServer(config, gen_params, fnet_params,

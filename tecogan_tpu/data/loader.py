@@ -294,6 +294,7 @@ class BatchLoader:
         self._queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=self.prefetch)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._producer_exc: Optional[BaseException] = None
 
     # --------------------------------------------------------------- iter
     def _producer(self):
@@ -334,6 +335,11 @@ class BatchLoader:
                         break
                     except queue.Full:
                         continue
+        except BaseException as e:  # propagate to the consumer thread:
+            # a producer that dies silently leaves next_batch() blocked on
+            # the queue FOREVER (a train run once hung all 29 threads in
+            # futex_wait on a too-small-scene ValueError raised here).
+            self._producer_exc = e
         finally:
             pool.shutdown(wait=False)
 
@@ -348,7 +354,17 @@ class BatchLoader:
         ``config.train_upload_uint8`` (the train step normalizes on device)."""
         if self._thread is None:
             self.start()
-        return self._queue.get()
+        while True:
+            try:
+                return self._queue.get(timeout=0.5)
+            except queue.Empty:
+                if self._producer_exc is not None:
+                    raise RuntimeError(
+                        "data producer thread died"
+                    ) from self._producer_exc
+                if self._thread is not None and not self._thread.is_alive():
+                    raise RuntimeError("data producer thread exited "
+                                       "without an exception")
 
     def stop(self):
         self._stop.set()

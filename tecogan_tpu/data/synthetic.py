@@ -104,11 +104,21 @@ def _natural_clip(
     """Band-limited naturalistic clip: see :func:`synthetic_clip` (the
     ``content="natural"`` regime).
 
-    Composition: a large band-limited noise canvas (two Gaussian-filtered
-    octaves, most energy below the 0.125 cycles/px quarter-band) sampled
-    through a sub-pixel panning window, plus two gradient-filled rectangles
-    and one flat disk moving sinusoidally — sharp occlusion edges are
-    exactly where a trained SR model out-reconstructs bicubic.
+    Composition: a large noise canvas sampled through a sub-pixel panning
+    window, plus two gradient-filled rectangles and one flat disk moving
+    sinusoidally. The canvas mixes three octaves:
+
+    - two Gaussian-smoothed layers (sigma 8 / 2.5 px) — the smooth base;
+    - an FFT-annulus band-pass layer confined to 0.05-0.115 cycles/px —
+      BELOW the 0.125 quarter-band (so it survives the x4 decimation and
+      stays single-frame recoverable) but heavily attenuated by the
+      sigma=1.5 anti-alias blur (gain 0.55-0.75). Interpolators like
+      ``bicubic_four`` reproduce it at that attenuated amplitude; inverting
+      the known blur is a plain linear filter a conv net learns quickly.
+      Measured on this band: FFT-interpolation ~28 dB vs ~50 dB for the
+      deconvolution oracle — the learnable headroom the round-5 train->eval
+      loop demonstrates. Without this octave (two smooth layers only)
+      bicubic saturates at ~39 dB and training can only tie it.
     """
     from scipy.ndimage import gaussian_filter
 
@@ -120,9 +130,18 @@ def _natural_clip(
                              (8.0, 8.0, 0.0))
     mid = gaussian_filter(rng.rand(ch, cw, 3).astype(np.float32),
                           (2.5, 2.5, 0.0))
+    fy = np.fft.fftfreq(ch)[:, None]
+    fx = np.fft.fftfreq(cw)[None, :]
+    ann = (np.sqrt(fy ** 2 + fx ** 2) >= 0.05) & \
+          (np.sqrt(fy ** 2 + fx ** 2) <= 0.115)
+    detail = np.empty((ch, cw, 3), np.float32)
+    for c in range(3):
+        spec = (rng.randn(ch, cw) + 1j * rng.randn(ch, cw)) * ann
+        layer = np.fft.ifft2(spec).real
+        detail[:, :, c] = layer / (layer.std() + 1e-12)
     canvas = (coarse - coarse.mean((0, 1))) / (coarse.std((0, 1)) + 1e-6)
     canvas = 0.12 * canvas + 0.06 * (
-        (mid - mid.mean((0, 1))) / (mid.std((0, 1)) + 1e-6))
+        (mid - mid.mean((0, 1))) / (mid.std((0, 1)) + 1e-6)) + 0.10 * detail
     canvas = np.clip(0.5 + canvas, 0.02, 0.98)
 
     # Occluders: sinusoidal orbits around the frame center, always in-frame.

@@ -66,6 +66,16 @@ def restore_checkpoint(ckpt_dir: str, template, step: Optional[int] = None):
     return restored
 
 
+def detect_num_resblock(gen_params) -> int:
+    """Count generator resblocks in a params tree (its ``resblock_{i}_conv_1``
+    keys). The checkpoint — not a CLI flag — is the source of truth for model
+    depth; mismatches used to truncate silently (flax ignores extra param
+    subtrees), which is how a 16-block model once evaluated as a 10-block one.
+    """
+    return sum(1 for k in gen_params
+               if k.startswith("resblock_") and k.endswith("_conv_1"))
+
+
 # ------------------------------------------------------- partial warm start
 def warm_start(state, ckpt_dir: str, step: Optional[int] = None,
                include_discriminator: bool = True):
@@ -102,6 +112,20 @@ def warm_start(state, ckpt_dir: str, step: Optional[int] = None,
             # Structure check: same treedef required.
             if jax.tree.structure(loaded) == jax.tree.structure(current):
                 return loaded
+            # A present-but-mismatched generator/fnet means the user pointed
+            # at the wrong model (e.g. warm-starting a 10-resblock run from a
+            # 16-resblock checkpoint). Silently keeping fresh init here once
+            # made a 'warm-started' GAN run train from scratch — hard error.
+            if name in ("gen_params", "fnet_params"):
+                detail = ""
+                if name == "gen_params":
+                    detail = (f" (checkpoint has {detect_num_resblock(loaded)}"
+                              f" resblocks, model expects"
+                              f" {detect_num_resblock(current)})")
+                raise ValueError(
+                    f"warm_start: {name} structure mismatch between"
+                    f" {ckpt_dir} and the model being trained{detail}; "
+                    "pass matching --num_resblock/channels")
             print(f"warm_start: structure mismatch for {name}; keeping fresh init")
         else:
             print(f"warm_start: {name} not in checkpoint; keeping fresh init")

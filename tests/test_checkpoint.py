@@ -78,6 +78,47 @@ def test_warm_start_frvsr_to_tecogan(tmp_path, rng):
     assert int(seeded.step) == 0  # fresh training
 
 
+def test_warm_start_resblock_mismatch_raises(tmp_path, rng):
+    """Warm-starting a model of different depth must ERROR, not silently
+    keep fresh init: a 16-vs-10 resblock mismatch once made a 'warm-started'
+    GAN run train from scratch (round-5 train->eval harness)."""
+    import pytest
+
+    deep_cfg = tiny_cfg(num_resblock=3, ratio=-0.01)
+    deep = Trainer(deep_cfg)
+    dstate = deep.init_state(jax.random.PRNGKey(0))
+    d = str(tmp_path / "deep")
+    save_checkpoint(d, dstate, 1)
+
+    shallow = Trainer(tiny_cfg(num_resblock=2, ratio=-0.01))
+    sstate = shallow.init_state(jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="resblocks"):
+        warm_start(sstate, d)
+
+
+def test_inference_restore_reconciles_num_resblock(tmp_path, rng):
+    """cli.main inference derives model depth from the checkpoint tree
+    (flax silently ignores extra param subtrees, so a mismatched
+    --num_resblock used to truncate the trunk without a word)."""
+    from tecogan_tpu.cli.main import build_parser, config_from_args, \
+        load_inference_params
+    from tecogan_tpu.train.checkpoint import detect_num_resblock
+
+    cfg = tiny_cfg(num_resblock=3, ratio=-0.01)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, state, 1)
+
+    args = build_parser().parse_args(
+        ["--mode", "inference", "--output_dir", str(tmp_path),
+         "--checkpoint", d, "--num_resblock", "2"])
+    gp, fp, out_cfg = load_inference_params(args, config_from_args(args))
+    assert detect_num_resblock(gp) == 3
+    assert out_cfg.num_resblock == 3
+    assert trees_equal(gp, state.gen_params)
+
+
 def test_params_npz_roundtrip(tmp_path):
     cfg = tiny_cfg()
     trainer = Trainer(cfg)

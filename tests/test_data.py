@@ -62,6 +62,13 @@ def test_synthetic_clip_natural_band_limited():
     fx = np.fft.fftfreq(g.shape[1])[None, :]
     hi = (np.abs(fy) > 0.125) | (np.abs(fx) > 0.125)
     assert spec[hi].sum() / spec.sum() < 0.10
+    # ... but with real energy in the blur-attenuated mid band
+    # (0.05-0.125 c/px): this is the deconvolution headroom that lets a
+    # trained model BEAT bicubic rather than tie it — without it bicubic
+    # saturates ~39 dB (round-5 measured) and the loop proves nothing.
+    r = np.sqrt(fy ** 2 + fx ** 2)
+    midband = (r >= 0.05) & (r <= 0.125)
+    assert spec[midband].sum() / spec.sum() > 0.15
     # Deterministic per seed, distinct across seeds.
     again = synthetic_clip(6, 64, 80, seed=3, content="natural")
     assert np.array_equal(clip, again)
@@ -139,6 +146,20 @@ def test_batch_loader(scene_root):
     tar = cfg.hr_load_size
     assert b1.shape == (2, 4, tar, tar, 3)
     assert not np.array_equal(b1, b2)  # shuffled stream
+
+
+def test_batch_loader_surfaces_producer_error(scene_root):
+    """A dying producer thread must raise in next_batch(), not leave the
+    trainer blocked on the queue forever (a too-small-scene ValueError once
+    hung a train run silently in futex_wait)."""
+    import pytest
+
+    # Scenes are 96x112; a crop of 32 needs hr_load_size 136 > 96.
+    cfg = cfg_for(scene_root).replace(crop_size=32)
+    ds = SceneDataset(cfg)
+    with BatchLoader(ds, seed=0) as loader:
+        with pytest.raises(RuntimeError, match="producer"):
+            loader.next_batch()
 
 
 def test_inference_loader_warmup(scene_root):

@@ -137,7 +137,7 @@ def main() -> None:
 
     args = build_parser().parse_args(["--allow_random_weights"] + res_args)
     cfg = config_from_args(args)
-    gp, fp = load_inference_params(args, cfg)
+    gp, fp, cfg = load_inference_params(args, cfg)
     dtype = jnp.dtype(cfg.compute_dtype)
     gen = Generator(num_resblock=cfg.num_resblock, channels=cfg.gen_channels,
                     dtype=dtype)

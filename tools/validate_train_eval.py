@@ -75,7 +75,8 @@ def phase_data(root):
     print("data ready:", train_dir, hr)
 
 
-def phase_train(root, iters, save_freq, lr=2e-4, decay_step_frac=0.25):
+def phase_train(root, iters, save_freq, num_resblock, lr=2e-4,
+                decay_step_frac=0.3):
     """Train FRVSR for ``iters`` steps with a budget-scaled lr schedule.
 
     The reference's canonical 5e-5-flat is tuned for a 500k-step run
@@ -87,6 +88,7 @@ def phase_train(root, iters, save_freq, lr=2e-4, decay_step_frac=0.25):
     flags = ["--max_iter", str(iters), "--str_dir", "2000",
              "--end_dir", "2010", "--end_dir_val", "2012",
              "--save_freq", str(save_freq), "--no_test_while_train",
+             "--num_resblock", str(num_resblock),
              "--learning_rate", str(lr),
              "--decay_step", str(max(1, int(iters * decay_step_frac))),
              "--decay_rate", "0.5"]
@@ -120,7 +122,10 @@ def eval_scene_names(root):
                   for d in glob.glob(os.path.join(root, "HR", "eval_*")))
 
 
-def phase_infer(root):
+def phase_infer(root, num_resblock):
+    # --num_resblock documents intent; cli.main now reconciles it against the
+    # checkpoint tree (a 16-vs-10 mismatch once silently truncated the trunk
+    # and scored the trained row 13 dB low).
     ck = ckpt_dir(root)
     for row, extra in (
         ("trained", ["--checkpoint", ck]),
@@ -135,7 +140,7 @@ def phase_infer(root):
                 "--mode", "inference",
                 "--input_dir_HR", os.path.join(root, "HR", scene),
                 "--output_dir", out, "--output_pre", scene,
-                "--num_resblock", "10"] + extra,
+                "--num_resblock", str(num_resblock)] + extra,
                log=os.path.join(root, f"infer_{row}.log"))
 
 
@@ -193,13 +198,14 @@ def phase_eval(root):
     return report
 
 
-def phase_gan(root, iters):
+def phase_gan(root, iters, num_resblock):
     """Warm-start TecoGAN-mini from the case-4 checkpoint (the canonical
     case-3 chain; --allow_random_weights supplies an untrained VGG — step
     dynamics and the D gate are weight-independent)."""
     flags = ["--allow_random_weights", "--max_iter", str(iters),
-             "--num_resblock", "10", "--str_dir", "2000", "--end_dir",
-             "2010", "--end_dir_val", "2012", "--no_test_while_train"]
+             "--num_resblock", str(num_resblock), "--str_dir", "2000",
+             "--end_dir", "2010", "--end_dir_val", "2012",
+             "--no_test_while_train"]
     prior = sorted(glob.glob(os.path.join(root, "ex_TecoGAN*")),
                    key=os.path.getmtime, reverse=True)
     if prior:
@@ -222,6 +228,9 @@ def main():
     p.add_argument("--train_iters", type=int, default=10000)
     p.add_argument("--gan_iters", type=int, default=300)
     p.add_argument("--save_freq", type=int, default=1000)
+    p.add_argument("--num_resblock", type=int, default=10,
+                   help="model depth for ALL phases (train/infer/gan must "
+                        "agree; warm_start now errors on mismatch)")
     p.add_argument("--phases",
                    default="data,train,infer,bicubic,eval,gan")
     args = p.parse_args()
@@ -230,15 +239,16 @@ def main():
     if "data" in phases:
         phase_data(args.root)
     if "train" in phases:
-        phase_train(args.root, args.train_iters, args.save_freq)
+        phase_train(args.root, args.train_iters, args.save_freq,
+                    args.num_resblock)
     if "infer" in phases:
-        phase_infer(args.root)
+        phase_infer(args.root, args.num_resblock)
     if "bicubic" in phases:
         phase_bicubic(args.root)
     if "eval" in phases:
         phase_eval(args.root)
     if "gan" in phases:
-        phase_gan(args.root, args.gan_iters)
+        phase_gan(args.root, args.gan_iters, args.num_resblock)
 
 
 if __name__ == "__main__":
