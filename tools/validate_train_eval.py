@@ -18,6 +18,10 @@ access, via the REAL user-facing paths:
            for --gan_iters adversarial steps (TecoGAN-mini, random VGG
            weights: step dynamics are weight-independent) — the canonical
            chain (runGan.py:128-134,213-234).
+7. ganinfer/ganeval: round-trip the case-3 checkpoint through the same
+           inference path and merge a "gan" row into the report — proves
+           a TecoGAN TrainState (gen+fnet+d+BN stats) serves like a
+           case-4 one (reference main.py:221-245).
 
 Usage:
     python tools/validate_train_eval.py --root /tmp/r5exp \
@@ -222,6 +226,62 @@ def phase_gan(root, iters, num_resblock):
            log=os.path.join(root, "train_case3.log"))
 
 
+def gan_ckpt_dir(root):
+    cands = sorted(glob.glob(os.path.join(root, "ex_TecoGAN*", "checkpoints")),
+                   key=os.path.getmtime, reverse=True)
+    if not cands:
+        raise FileNotFoundError(f"no ex_TecoGAN*/checkpoints under {root}")
+    return cands[0]
+
+
+def phase_ganinfer(root, num_resblock):
+    """Round-trip the case-3 checkpoint through inference: proves a TecoGAN
+    TrainState (gen+fnet+d+BN stats in the tree) restores through the same
+    `cli.main --mode inference` path as a case-4 one (reference main.py:
+    221-245 serves either checkpoint identically)."""
+    ck = gan_ckpt_dir(root)
+    out = os.path.join(root, "results_gan")
+    for scene in eval_scene_names(root):
+        done = os.path.join(out, scene)
+        if os.path.isdir(done) and len(os.listdir(done)) >= EVAL_FRAMES:
+            continue
+        sh([sys.executable, "-m", "tecogan_tpu.cli.main",
+            "--mode", "inference",
+            "--input_dir_HR", os.path.join(root, "HR", scene),
+            "--output_dir", out, "--output_pre", scene,
+            "--num_resblock", str(num_resblock),
+            "--checkpoint", ck],
+           log=os.path.join(root, "infer_gan.log"))
+
+
+def phase_ganeval(root):
+    """Score the GAN-leg row and merge it into train_eval_report.json."""
+    from tecogan_tpu.eval.suite import evaluate_folders
+
+    scenes = eval_scene_names(root)
+    tars = [os.path.join(root, "HR", s) for s in scenes]
+    res = [os.path.join(root, "results_gan", s) for s in scenes]
+    row = evaluate_folders(res, tars, os.path.join(root, "metrics_gan"),
+                           keys=["PSNR", "SSIM", "tOF"], verbose=False)
+    path = os.path.join(root, "train_eval_report.json")
+    report = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            report = json.load(f)
+    report["gan"] = row
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print("\n| row | PSNR (dB) | SSIM | tOF |")
+    print("|---|---|---|---|")
+    for name in ("trained", "gan", "bicubic", "untrained"):
+        if name not in report:
+            continue
+        r = report[name]
+        print(f"| {name} | {r['FrameAvg_PSNR']:.2f} | {r['FrameAvg_SSIM']:.4f}"
+              f" | {r['FrameAvg_tOF']:.3f} |")
+    return report
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/r5exp")
@@ -232,7 +292,7 @@ def main():
                    help="model depth for ALL phases (train/infer/gan must "
                         "agree; warm_start now errors on mismatch)")
     p.add_argument("--phases",
-                   default="data,train,infer,bicubic,eval,gan")
+                   default="data,train,infer,bicubic,eval,gan,ganinfer,ganeval")
     args = p.parse_args()
     os.makedirs(args.root, exist_ok=True)
     phases = args.phases.split(",")
@@ -249,6 +309,10 @@ def main():
         phase_eval(args.root)
     if "gan" in phases:
         phase_gan(args.root, args.gan_iters, args.num_resblock)
+    if "ganinfer" in phases:
+        phase_ganinfer(args.root, args.num_resblock)
+    if "ganeval" in phases:
+        phase_ganeval(args.root)
 
 
 if __name__ == "__main__":
