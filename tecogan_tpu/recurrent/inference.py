@@ -127,11 +127,22 @@ class StreamingSR:
     """
 
     def __init__(self, config: TecoConfig, gen_params, fnet_params,
-                 output: str = "float32", spatial_mesh=None):
+                 output: str = "float32", spatial_mesh=None,
+                 scan_unroll: int = 1):
         """``spatial_mesh``: optional Mesh with a ``config.sp_axis`` axis —
         frames and recurrent state are H-sharded across it and GSPMD inserts
         the conv/warp halo exchanges over ICI (SURVEY.md §2.3: the
-        context-parallel analog for this workload)."""
+        context-parallel analog for this workload).
+
+        ``scan_unroll``: unroll factor for the per-frame ``lax.scan``.
+        **Measured NEGATIVE on the headline workload** — the hypothesis was
+        that k > 1 would amortize the 0.71 ms/frame of scan-carry layout
+        copies (BASELINE.md round-5 B=1 accounting) across k frames, but on
+        the chip unroll 2 = -2.5% fps and unroll 4 = -3.3% (spread-separated;
+        `tools/bench_unroll.py`), i.e. those copies live inside the frame
+        body, not at the loop boundary, and the bigger body only hurts
+        scheduling. Default 1; the knob + tool stay so the result is
+        reproducible and nobody re-learns it."""
         self.config = config
         dtype = jnp.dtype(config.compute_dtype)
         self.dtype = dtype
@@ -152,6 +163,10 @@ class StreamingSR:
         )
         self.gen_params = gen_params
         self.fnet_params = fnet_params
+        if not (isinstance(scan_unroll, int) and scan_unroll >= 1):
+            raise ValueError(f"scan_unroll must be an int >= 1, got "
+                             f"{scan_unroll!r}")
+        self.scan_unroll = scan_unroll
         self._chunk_fn = None
 
     # ------------------------------------------------------------- chunk fn
@@ -191,6 +206,7 @@ class StreamingSR:
         sp_axis = self.config.sp_axis
         max_disp = 4.0 * self.config.flow_max_velocity
         num_rb = self.config.num_resblock
+        scan_unroll = self.scan_unroll
 
         s2d_ok = spatial_mesh is None
 
@@ -305,7 +321,8 @@ class StreamingSR:
                     out = hr.astype(jnp.float32)
                 return st, out
 
-            state, hr = jax.lax.scan(body, state, (lr_chunk, flow_x))
+            state, hr = jax.lax.scan(body, state, (lr_chunk, flow_x),
+                                     unroll=scan_unroll)
             return state, hr
 
         if self.spatial_mesh is not None:

@@ -4,6 +4,7 @@ ordering, streaming runner shapes."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.models import FNet, Generator
@@ -151,6 +152,23 @@ def test_streaming_sr_shapes_and_chunking(rng):
     # Chunk boundaries must not change results vs one big chunk.
     out_big, _ = sr.run(frames, warmup=2, chunk=7)
     np.testing.assert_allclose(out, out_big, rtol=1e-4, atol=1e-5)
+
+
+def test_scan_unroll_matches_default(rng):
+    """scan_unroll only changes XLA scheduling, never results (including a
+    factor that does not divide the chunk length). The knob exists for the
+    measured-negative headline experiment (tools/bench_unroll.py;
+    BASELINE.md round-5) — kept reproducible, defaulted off."""
+    cfg = TecoConfig(num_resblock=2, compute_dtype="float32", infer_chunk=5)
+    h, w = 8, 8
+    gen, fnet, gp, fp = make_models(jax.random.PRNGKey(4), h, w)
+    frames = rng.rand(9, h, w, 3).astype(np.float32)
+    base, _ = StreamingSR(cfg, gp, fp).run(frames, warmup=2)
+    for k in (2, 3):
+        out, _ = StreamingSR(cfg, gp, fp, scan_unroll=k).run(frames, warmup=2)
+        np.testing.assert_allclose(out, base, rtol=2e-5, atol=2e-5)
+    with pytest.raises(ValueError):
+        StreamingSR(cfg, gp, fp, scan_unroll=0)
 
 
 def test_run_streams_matches_single(rng):
