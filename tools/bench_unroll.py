@@ -41,7 +41,9 @@ def main() -> None:
     from tecogan_tpu.recurrent.inference import StreamingSR
 
     p = argparse.ArgumentParser()
-    p.add_argument("--unrolls", default="1,2,4,8")
+    p.add_argument("--unrolls", default="1,2,4",
+                   help="unroll=8's compile alone blows a 900 s budget; "
+                        "opt in explicitly if you want it")
     p.add_argument("--passes", type=int, default=3)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--size", default=f"{H}x{W}",
