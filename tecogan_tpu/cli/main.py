@@ -155,9 +155,20 @@ def load_inference_params(args, config):
             config = config.replace(num_resblock=n_rb)
         return raw["gen_params"], raw["fnet_params"], config
     if args.tf_npz:
-        from tecogan_tpu.train.checkpoint import convert_tf_npz
+        from tecogan_tpu.train.checkpoint import (
+            convert_tf_npz, detect_num_resblock)
 
-        trees = convert_tf_npz(args.tf_npz, num_resblock=config.num_resblock)
+        # Depth comes from the npz's own variable names — same
+        # checkpoint-defines-the-model rule as the orbax path above (a
+        # 10-block FRVSR npz under the default --num_resblock 16 used to
+        # KeyError on resblock_11).
+        trees = convert_tf_npz(args.tf_npz, num_resblock=None)
+        n_rb = detect_num_resblock(trees["generator"])
+        if n_rb != config.num_resblock:
+            print(f"NOTE: {args.tf_npz} has {n_rb} resblocks; overriding "
+                  f"--num_resblock {config.num_resblock} (the checkpoint "
+                  "defines the model)")
+            config = config.replace(num_resblock=n_rb)
         return trees["generator"], trees["fnet"], config
     if args.params_npz:
         from tecogan_tpu.train.checkpoint import npz_to_params

@@ -18,6 +18,7 @@ published TecoGAN/FRVSR models; see :func:`convert_tf_npz`.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Dict, Optional
 
 import jax
@@ -76,6 +77,65 @@ def detect_num_resblock(gen_params) -> int:
                if k.startswith("resblock_") and k.endswith("_conv_1"))
 
 
+def _flatten_paths(tree) -> Dict[str, Any]:
+    """Flatten a pytree to {'a/b/c': leaf} using dict keys / sequence indices."""
+    out = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+        out[key] = leaf
+    return out
+
+
+def merge_partial_restore(current, loaded, name: str, src: str,
+                          zero_missing: bool):
+    """Reference ``get_existing_from_ckpt`` semantics for a structure-
+    mismatched subtree (lib/ops.py:370-391, called at main.py:312-320):
+    restore the leaf-name intersection, hard-error when a same-named leaf has
+    a different shape (wrong model, reference ops.py:382-384), and fill leaves
+    absent from the checkpoint with ZEROS when ``zero_missing`` (the
+    reference's ``rest_zero=True`` for generator+fnet — zero-filled resblocks
+    are exact identities, so a generator grown 10→16 blocks initially computes
+    the 10-block checkpoint's function; this is how case 3 seeds the published
+    16-block TecoGAN from the 10-block FRVSR model, runGan.py:161,200-203) or
+    with their fresh init otherwise (the discriminator path, which the
+    reference restores without ``rest_zero``)."""
+    cur = _flatten_paths(current)
+    new = _flatten_paths(loaded)
+    hits = [k for k in cur if k in new]
+    if not hits:
+        raise ValueError(
+            f"warm_start: no overlapping {name} weights between {src} and "
+            "the model being trained — wrong checkpoint? (pass matching "
+            "--num_resblock/channels)")
+    for k in hits:
+        a, b = np.shape(new[k]), np.shape(cur[k])
+        if a != b:
+            raise ValueError(
+                f"warm_start: shape mismatch for {name}/{k} in {src}: "
+                f"checkpoint {a} vs model {b} (reference ops.py:382-384 "
+                "raises here too; pass matching --num_resblock/channels)")
+    missing = [k for k in cur if k not in new]
+    unused = [k for k in new if k not in cur]
+
+    def pick_leaf(keypath, leaf):
+        key = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+        if key in new:
+            return jnp.asarray(new[key]).astype(leaf.dtype)
+        if zero_missing:
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(pick_leaf, current)
+    fill = "zero-filled (identity)" if zero_missing else "fresh init"
+    print(f"warm_start: partial {name} restore from {src}: "
+          f"{len(hits)} loaded, {len(missing)} {fill}"
+          + (f" ({missing[0]} ...)" if missing else "")
+          + (f", {len(unused)} checkpoint leaves unused" if unused else ""))
+    return merged
+
+
 # ------------------------------------------------------- partial warm start
 def warm_start(state, ckpt_dir: str, step: Optional[int] = None,
                include_discriminator: bool = True):
@@ -83,10 +143,13 @@ def warm_start(state, ckpt_dir: str, step: Optional[int] = None,
 
     Optimizer slots, EMA telemetry, counters and step stay fresh — parity
     with reference ``pre_trained_model=True`` (main.py:312-320,351-352).
-    Missing subtrees (e.g. no discriminator in an FRVSR checkpoint) are left
-    at their fresh initialization (the reference zero-fills missing
-    *generator/fnet* vars via ``rest_zero``; for cross-model seeding the
-    fresh-init behaviour is strictly better and documented here).
+    Entirely missing subtrees (e.g. no discriminator in an FRVSR checkpoint)
+    are left at their fresh initialization. A present-but-structure-mismatched
+    generator/fnet takes the reference's ``rest_zero`` partial restore
+    (:func:`merge_partial_restore`): intersection loaded, missing leaves
+    zero-filled into identity resblocks — the canonical 10-block FRVSR →
+    16-block TecoGAN grow (runGan.py:161,200-203) — and genuine wrong-model
+    cases (same-named shape mismatch, zero overlap) hard-error.
 
     ``ckpt_dir`` may also be a TF checkpoint dumped to ``.npz`` (e.g. the
     published FRVSR model, reference runGan.py:128-134,200-203) — the
@@ -109,26 +172,23 @@ def warm_start(state, ckpt_dir: str, step: Optional[int] = None,
             return None
         if isinstance(raw, dict) and name in raw and raw[name] is not None:
             loaded = jax.tree.map(jnp.asarray, raw[name])
-            # Structure check: same treedef required.
-            if jax.tree.structure(loaded) == jax.tree.structure(current):
+            # Fast path: identical treedef AND shapes — take the tree whole
+            # (treedef alone would wave through a channel-mismatched model).
+            if jax.tree.structure(loaded) == jax.tree.structure(
+                    current) and jax.tree.all(jax.tree.map(
+                        lambda a, b: a.shape == b.shape, loaded, current)):
                 return loaded
-            # A present-but-mismatched generator/fnet means the user pointed
-            # at the wrong model (e.g. warm-starting a 10-resblock run from a
-            # 16-resblock checkpoint). Silently keeping fresh init here once
-            # made a 'warm-started' GAN run train from scratch — hard error.
-            if name in ("gen_params", "fnet_params"):
-                detail = ""
-                if name == "gen_params":
-                    detail = (f" (checkpoint has {detect_num_resblock(loaded)}"
-                              f" resblocks, model expects"
-                              f" {detect_num_resblock(current)})")
-                raise ValueError(
-                    f"warm_start: {name} structure mismatch between"
-                    f" {ckpt_dir} and the model being trained{detail}; "
-                    "pass matching --num_resblock/channels")
-            print(f"warm_start: structure mismatch for {name}; keeping fresh init")
-        else:
-            print(f"warm_start: {name} not in checkpoint; keeping fresh init")
+            # Structure mismatch: reference-parity partial restore — the
+            # canonical case-3 chain grows the 10-resblock FRVSR checkpoint
+            # into a 16-resblock TecoGAN (runGan.py:161,200-203), with the
+            # missing blocks zero-filled to identities (rest_zero=True,
+            # main.py:312-320). Never silently keep fresh init for gen/fnet
+            # (that once made a 'warm-started' GAN run train from scratch):
+            # merge_partial_restore raises on shape mismatch or no overlap.
+            return merge_partial_restore(
+                current, loaded, name, ckpt_dir,
+                zero_missing=name in ("gen_params", "fnet_params"))
+        print(f"warm_start: {name} not in checkpoint; keeping fresh init")
         return current
 
     updates = dict(
@@ -146,26 +206,29 @@ def warm_start_tf_npz(state, npz_path: str,
     """Warm-start model weights from a TF checkpoint dumped to npz
     (:func:`convert_tf_npz` format) — how reference case 3 seeds TecoGAN
     training from the published FRVSR model (runGan.py:200-203,
-    main.py:312-320)."""
-    n_rb = sum(1 for k in state.gen_params if k.endswith("_conv_1")
-               and k.startswith("resblock_"))
-    trees = convert_tf_npz(npz_path, num_resblock=n_rb)
+    main.py:312-320). The npz's own depth is detected from its variable
+    names; a depth mismatch against the model follows the reference's
+    ``rest_zero`` partial-restore semantics (the canonical 10-block FRVSR →
+    16-block TecoGAN grow zero-fills blocks 11-16 into identities)."""
+    trees = convert_tf_npz(npz_path, num_resblock=None)
 
-    def pick(name, current):
+    def pick(name, current, zero_missing=False):
         if current is None or name not in trees:
             if current is not None:
                 print(f"warm_start: {name} not in {npz_path}; "
                       "keeping fresh init")
             return current
         loaded = jax.tree.map(jnp.asarray, trees[name])
-        if jax.tree.structure(loaded) == jax.tree.structure(current):
+        if jax.tree.structure(loaded) == jax.tree.structure(
+                current) and jax.tree.all(jax.tree.map(
+                    lambda a, b: a.shape == b.shape, loaded, current)):
             return loaded
-        print(f"warm_start: structure mismatch for {name}; keeping fresh init")
-        return current
+        return merge_partial_restore(current, loaded, name, npz_path,
+                                     zero_missing=zero_missing)
 
     updates = dict(
-        gen_params=pick("generator", state.gen_params),
-        fnet_params=pick("fnet", state.fnet_params),
+        gen_params=pick("generator", state.gen_params, zero_missing=True),
+        fnet_params=pick("fnet", state.fnet_params, zero_missing=True),
     )
     if include_discriminator and state.d_params is not None:
         updates["d_params"] = pick("discriminator", state.d_params)
@@ -185,7 +248,8 @@ def _get(data, *candidates):
     raise KeyError(f"none of {candidates} in checkpoint npz")
 
 
-def convert_tf_npz(npz_path: str, num_resblock: int = 16) -> Dict[str, Any]:
+def convert_tf_npz(npz_path: str,
+                   num_resblock: Optional[int] = 16) -> Dict[str, Any]:
     """Convert a TF TecoGAN/FRVSR checkpoint (dumped to npz) to flax params.
 
     The npz maps TF variable names to arrays; produce it with any TF install:
@@ -193,6 +257,10 @@ def convert_tf_npz(npz_path: str, num_resblock: int = 16) -> Dict[str, Any]:
         reader = tf.train.load_checkpoint(ckpt)
         np.savez(out, **{name: reader.get_tensor(name)
                          for name in reader.get_variable_to_shape_map()})
+
+    ``num_resblock=None`` detects the depth from the checkpoint's own
+    variable names (the published FRVSR has 10 blocks, TecoGAN 16 —
+    reference runGan.py:161).
 
     Returns dict with 'generator' and 'fnet' param trees (plus
     'discriminator'/'discriminator_batch_stats' and 'global_step' when
@@ -205,6 +273,13 @@ def convert_tf_npz(npz_path: str, num_resblock: int = 16) -> Dict[str, Any]:
     the same for warm starts).
     """
     data = dict(np.load(npz_path))
+    if num_resblock is None:
+        # Both npz spellings appear in the wild (.../conv_1/Conv/weights
+        # from slim scopes, .../conv_1/weights from flat dumps) — see _get.
+        rb = re.compile(
+            r"generator/generator_unit/resblock_(\d+)/conv_1/(Conv/)?weights$")
+        num_resblock = max(
+            (int(m.group(1)) for m in map(rb.match, data) if m), default=0)
 
     def conv(tf_scope):
         return {

@@ -78,22 +78,77 @@ def test_warm_start_frvsr_to_tecogan(tmp_path, rng):
     assert int(seeded.step) == 0  # fresh training
 
 
-def test_warm_start_resblock_mismatch_raises(tmp_path, rng):
-    """Warm-starting a model of different depth must ERROR, not silently
-    keep fresh init: a 16-vs-10 resblock mismatch once made a 'warm-started'
-    GAN run train from scratch (round-5 train->eval harness)."""
-    import pytest
-
-    deep_cfg = tiny_cfg(num_resblock=3, ratio=-0.01)
-    deep = Trainer(deep_cfg)
-    dstate = deep.init_state(jax.random.PRNGKey(0))
-    d = str(tmp_path / "deep")
-    save_checkpoint(d, dstate, 1)
+def test_warm_start_grow_resblocks_zero_fill_identity(tmp_path, rng):
+    """The canonical case-3 depth grow (10-block FRVSR ckpt -> 16-block
+    TecoGAN, reference runGan.py:161,200-203): the intersection loads and the
+    missing resblocks are ZERO-filled (reference rest_zero=True,
+    main.py:312-320) — zeroed resblocks are exact identities, so the grown
+    generator initially computes the checkpoint's function bit-for-bit."""
+    from tecogan_tpu.models import Generator
 
     shallow = Trainer(tiny_cfg(num_resblock=2, ratio=-0.01))
-    sstate = shallow.init_state(jax.random.PRNGKey(1))
-    with pytest.raises(ValueError, match="resblocks"):
-        warm_start(sstate, d)
+    sstate = shallow.init_state(jax.random.PRNGKey(0))
+    d = str(tmp_path / "frvsr2")
+    save_checkpoint(d, sstate, 0)
+
+    deep = Trainer(tiny_cfg(num_resblock=4, ratio=0.01, pingpong=True))
+    dstate = deep.init_state(jax.random.PRNGKey(7))
+    seeded = warm_start(dstate, d)
+
+    # Intersection restored, grown blocks zeroed.
+    for i in (1, 2):
+        assert trees_equal(seeded.gen_params[f"resblock_{i}_conv_1"],
+                           sstate.gen_params[f"resblock_{i}_conv_1"])
+    for i in (3, 4):
+        assert all(bool(jnp.all(x == 0)) for x in jax.tree.leaves(
+            seeded.gen_params[f"resblock_{i}_conv_1"]))
+    assert trees_equal(seeded.fnet_params, sstate.fnet_params)
+
+    # Identity property: the 4-block seeded generator == the 2-block source.
+    x = jnp.asarray(rng.rand(1, 8, 8, 51).astype(np.float32))
+    out4 = Generator(num_resblock=4).apply({"params": seeded.gen_params}, x)
+    out2 = Generator(num_resblock=2).apply({"params": sstate.gen_params}, x)
+    np.testing.assert_array_equal(np.asarray(out4), np.asarray(out2))
+
+
+def test_warm_start_shrink_resblocks_intersection(tmp_path, rng):
+    """A deeper checkpoint into a shallower model restores the intersection
+    (reference get_existing_from_ckpt finds every graph var in the ckpt and
+    ignores the extra tensors, ops.py:370-391) and says what went unused."""
+    deep = Trainer(tiny_cfg(num_resblock=4, ratio=-0.01))
+    dstate = deep.init_state(jax.random.PRNGKey(0))
+    d = str(tmp_path / "deep4")
+    save_checkpoint(d, dstate, 0)
+
+    shallow = Trainer(tiny_cfg(num_resblock=2, ratio=-0.01))
+    sstate = shallow.init_state(jax.random.PRNGKey(3))
+    seeded = warm_start(sstate, d)
+    for i in (1, 2):
+        for c in ("conv_1", "conv_2"):
+            assert trees_equal(seeded.gen_params[f"resblock_{i}_{c}"],
+                               dstate.gen_params[f"resblock_{i}_{c}"])
+    assert trees_equal(seeded.gen_params["input_stage_conv"],
+                       dstate.gen_params["input_stage_conv"])
+    assert trees_equal(seeded.fnet_params, dstate.fnet_params)
+
+
+def test_warm_start_channel_mismatch_raises(tmp_path, rng):
+    """A genuine wrong-model warm start (same-named leaf, different shape)
+    must ERROR, not silently keep fresh init (reference ops.py:382-384
+    raises the same way): a silent miss once made a 'warm-started' GAN run
+    train from scratch (round-5 train->eval harness)."""
+    import pytest
+
+    wide_cfg = tiny_cfg(num_resblock=2, gen_channels=32, ratio=-0.01)
+    wide = Trainer(wide_cfg)
+    wstate = wide.init_state(jax.random.PRNGKey(0))
+    d = str(tmp_path / "wide")
+    save_checkpoint(d, wstate, 1)
+
+    normal = Trainer(tiny_cfg(num_resblock=2, ratio=-0.01))
+    nstate = normal.init_state(jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        warm_start(nstate, d)
 
 
 def test_inference_restore_reconciles_num_resblock(tmp_path, rng):
@@ -132,10 +187,9 @@ def test_params_npz_roundtrip(tmp_path):
     assert trees_equal(out["fnet"], state.fnet_params)
 
 
-def test_convert_tf_npz(tmp_path):
-    """Synthesize a TF-named npz and verify it converts and actually runs
-    through the models."""
-    rng = np.random.RandomState(0)
+def _synth_tf_npz(path, num_resblock, seed=0):
+    """Synthesize an FRVSR-style TF-named npz with `num_resblock` blocks."""
+    rng = np.random.RandomState(seed)
     data = {}
 
     def add_conv(scope, cin, cout, k=3):
@@ -151,7 +205,7 @@ def test_convert_tf_npz(tmp_path):
 
     g = "generator/generator_unit"
     add_conv(f"{g}/input_stage/conv", 51, 64)
-    for i in (1, 2):
+    for i in range(1, num_resblock + 1):
         add_conv(f"{g}/resblock_{i}/conv_1", 64, 64)
         add_conv(f"{g}/resblock_{i}/conv_2", 64, 64)
     add_tran(f"{g}/conv_tran2highres/conv_tran1", 64, 64)
@@ -170,10 +224,18 @@ def test_convert_tf_npz(tmp_path):
         add_conv(f"{f}/decoder_{i}/conv_2", co, co)
     add_conv(f"{f}/output_stage/conv1", 64, 32)
     add_conv(f"{f}/output_stage/conv2", 32, 2)
-
-    path = str(tmp_path / "tf.npz")
     np.savez(path, **data)
+
+
+def test_convert_tf_npz(tmp_path):
+    """Synthesize a TF-named npz and verify it converts and actually runs
+    through the models."""
+    path = str(tmp_path / "tf.npz")
+    _synth_tf_npz(path, num_resblock=2)
     converted = convert_tf_npz(path, num_resblock=2)
+    # Depth auto-detection from the checkpoint's own variable names.
+    auto = convert_tf_npz(path, num_resblock=None)
+    assert trees_equal(auto["generator"], converted["generator"])
 
     # Structures must match freshly initialized models, and apply must run.
     from tecogan_tpu.models import FNet, Generator
@@ -188,6 +250,27 @@ def test_convert_tf_npz(tmp_path):
     assert out.shape == (1, 32, 32, 3)
     flow = fnet.apply({"params": converted["fnet"]}, jnp.zeros((1, 8, 8, 6)))
     assert flow.shape == (1, 8, 8, 2)
+
+
+def test_warm_start_tf_npz_grow_identity(tmp_path, rng):
+    """Reference case 3 verbatim: the published 10-block FRVSR npz seeds a
+    deeper TecoGAN (runGan.py:161,200-203) — here 2 -> 4 blocks through the
+    npz warm-start dispatch; rest_zero makes the grown generator compute the
+    npz model's function exactly at step 0."""
+    from tecogan_tpu.models import Generator
+
+    path = str(tmp_path / "frvsr.npz")
+    _synth_tf_npz(path, num_resblock=2)
+    teco = Trainer(tiny_cfg(num_resblock=4, ratio=0.01, pingpong=True))
+    tstate = teco.init_state(jax.random.PRNGKey(7))
+    seeded = warm_start(tstate, path)  # .npz path dispatches to the converter
+
+    src = convert_tf_npz(path, num_resblock=None)
+    x = jnp.asarray(rng.rand(1, 8, 8, 51).astype(np.float32))
+    out4 = Generator(num_resblock=4).apply({"params": seeded.gen_params}, x)
+    out2 = Generator(num_resblock=2).apply({"params": src["generator"]}, x)
+    np.testing.assert_array_equal(np.asarray(out4), np.asarray(out2))
+    assert trees_equal(seeded.fnet_params, src["fnet"])
 
 
 def test_convert_tf_npz_full_inventory(tmp_path):
