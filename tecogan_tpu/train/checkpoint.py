@@ -99,7 +99,17 @@ def merge_partial_restore(current, loaded, name: str, src: str,
     the 10-block checkpoint's function; this is how case 3 seeds the published
     16-block TecoGAN from the 10-block FRVSR model, runGan.py:161,200-203) or
     with their fresh init otherwise (the discriminator path, which the
-    reference restores without ``rest_zero``)."""
+    reference restores without ``rest_zero``).
+
+    One deliberate improvement over the reference: zeroing BOTH convs of a
+    grown resblock is a permanent saddle — with ``y = x + W2·relu(W1·x+b1)
+    +b2`` all-zero, ``dL/dW2 = relu(0)⊗δ = 0`` and ``dL/d(conv1) = W2ᵀδ = 0``,
+    so the reference's grown blocks can never train (only b2 drifts; Adam
+    keeps exact-zero grads at zero). A missing ``resblock_*_conv_1`` therefore
+    keeps its FRESH init and only ``conv_2`` is zeroed — the block is still an
+    exact identity at step 0 (conv_2 zero suffices) but ``dL/dW2 =
+    relu(conv1_fresh(x))⊗δ ≠ 0``, so the grown capacity actually trains
+    (zero-init-residual, cf. ReZero/Fixup)."""
     cur = _flatten_paths(current)
     new = _flatten_paths(loaded)
     hits = [k for k in cur if k in new]
@@ -123,9 +133,10 @@ def merge_partial_restore(current, loaded, name: str, src: str,
             str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
         if key in new:
             return jnp.asarray(new[key]).astype(leaf.dtype)
-        if zero_missing:
+        if zero_missing and not (
+                key.startswith("resblock_") and "_conv_1" in key):
             return jnp.zeros_like(leaf)
-        return leaf
+        return leaf  # fresh init (grown conv_1 stays trainable, see above)
 
     merged = jax.tree_util.tree_map_with_path(pick_leaf, current)
     fill = "zero-filled (identity)" if zero_missing else "fresh init"

@@ -80,10 +80,11 @@ def test_warm_start_frvsr_to_tecogan(tmp_path, rng):
 
 def test_warm_start_grow_resblocks_zero_fill_identity(tmp_path, rng):
     """The canonical case-3 depth grow (10-block FRVSR ckpt -> 16-block
-    TecoGAN, reference runGan.py:161,200-203): the intersection loads and the
-    missing resblocks are ZERO-filled (reference rest_zero=True,
-    main.py:312-320) — zeroed resblocks are exact identities, so the grown
-    generator initially computes the checkpoint's function bit-for-bit."""
+    TecoGAN, reference runGan.py:161,200-203): the intersection loads, each
+    grown resblock's conv_2 is ZERO-filled (the block is an exact identity,
+    reference rest_zero=True main.py:312-320) and its conv_1 keeps fresh init
+    so the block can actually TRAIN (the reference's all-zero fill is a
+    permanent saddle — see merge_partial_restore)."""
     from tecogan_tpu.models import Generator
 
     shallow = Trainer(tiny_cfg(num_resblock=2, ratio=-0.01))
@@ -95,13 +96,15 @@ def test_warm_start_grow_resblocks_zero_fill_identity(tmp_path, rng):
     dstate = deep.init_state(jax.random.PRNGKey(7))
     seeded = warm_start(dstate, d)
 
-    # Intersection restored, grown blocks zeroed.
+    # Intersection restored; grown blocks: conv_2 zeroed, conv_1 fresh.
     for i in (1, 2):
         assert trees_equal(seeded.gen_params[f"resblock_{i}_conv_1"],
                            sstate.gen_params[f"resblock_{i}_conv_1"])
     for i in (3, 4):
         assert all(bool(jnp.all(x == 0)) for x in jax.tree.leaves(
-            seeded.gen_params[f"resblock_{i}_conv_1"]))
+            seeded.gen_params[f"resblock_{i}_conv_2"]))
+        assert trees_equal(seeded.gen_params[f"resblock_{i}_conv_1"],
+                           dstate.gen_params[f"resblock_{i}_conv_1"])
     assert trees_equal(seeded.fnet_params, sstate.fnet_params)
 
     # Identity property: the 4-block seeded generator == the 2-block source.
@@ -109,6 +112,13 @@ def test_warm_start_grow_resblocks_zero_fill_identity(tmp_path, rng):
     out4 = Generator(num_resblock=4).apply({"params": seeded.gen_params}, x)
     out2 = Generator(num_resblock=2).apply({"params": sstate.gen_params}, x)
     np.testing.assert_array_equal(np.asarray(out4), np.asarray(out2))
+
+    # Trainability: one step moves the grown conv_2 kernel off zero (under
+    # the reference's all-zero fill its gradient is exactly zero forever).
+    tar = deep.config.hr_load_size
+    batch = jnp.asarray(rng.rand(1, 3, tar, tar, 3).astype(np.float32))
+    stepped, _ = deep.train_step(seeded, batch)
+    assert bool(jnp.any(stepped.gen_params["resblock_3_conv_2"]["kernel"] != 0))
 
 
 def test_warm_start_shrink_resblocks_intersection(tmp_path, rng):

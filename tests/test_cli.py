@@ -368,7 +368,9 @@ def test_run_case4_then_case3_end_to_end(tmp_path, monkeypatch):
     CLI on synthetic data: case 4 trains FRVSR and saves checkpoints; case 3
     then auto-discovers them + the converted VGG npz and warm-starts the
     adversarial run (reference runGan.py:107-244) — no hand-passed flags
-    beyond the tiny-shape overrides."""
+    beyond the tiny-shape overrides. Case 3 runs one resblock DEEPER than
+    case 4 (the reference grows 10 -> 16, runGan.py:161,269), exercising the
+    rest_zero partial restore through the real orchestration path."""
     from tecogan_tpu.cli import run as run_mod
 
     root = str(tmp_path)
@@ -394,11 +396,17 @@ def test_run_case4_then_case3_end_to_end(tmp_path, monkeypatch):
     ck = os.path.join(root, "ex_FRVSRmm-dd-hh", "checkpoints")
     assert latest_step(ck) == 2
 
+    tiny3 = list(tiny)
+    tiny3[tiny3.index("--num_resblock") + 1] = "3"
     with pytest.raises(SystemExit) as e:
-        run_mod.main(["3", "--root", root] + tiny)
+        run_mod.main(["3", "--root", root] + tiny3)
     assert e.value.code == 0
     log = os.path.join(root, "ex_TecoGANmm-dd-hh", "log", "logfile.txt")
     text = open(log).read()
     assert "Warm-started weights from" in text
+    # The 2-block FRVSR checkpoint grew into the 3-block TecoGAN via the
+    # reference's rest_zero intersection restore (main.py:312-320).
+    assert "partial gen_params restore" in text
+    assert "zero-filled (identity)" in text
     assert latest_step(
         os.path.join(root, "ex_TecoGANmm-dd-hh", "checkpoints")) == 2
